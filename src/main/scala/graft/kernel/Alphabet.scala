@@ -1,0 +1,139 @@
+package graft.kernel
+
+/** An alphabet: ordered character classes, each class an ordered list of
+  * equivalent surface strings (case folds, diacritic folds, multi-char
+  * ligatures). Order matters twice: class order is the greedy match
+  * priority AND the prime index used by the anagram hash
+  * (reference: src/types.rs:35-37, src/anahash.rs:16-80).
+  *
+  * The alphabet is tiny config state — on Spark it is closed over by
+  * kernel UDFs / broadcast, never a distributed table.
+  */
+final case class Alphabet(classes: IndexedSeq[IndexedSeq[String]]) {
+  def size: Int = classes.length
+
+  /** UNK class index used by the anagram-hash path (reference:
+    * src/anahash.rs:40-44).
+    */
+  def unkHashIndex: Int = classes.length
+
+  /** UNK class index used by the normalize path — deliberately one higher
+    * than the hash path's; the reference has this asymmetry and parity
+    * requires replicating it bit-for-bit (reference: src/anahash.rs:74-77).
+    */
+  def unkNormIndex: Int = classes.length + 1
+
+  /** Greedy normalization: scan left-to-right by codepoint; at each
+    * position try classes in file order, surface forms in listed order;
+    * first match wins and consumes its full length; unmatched codepoints
+    * emit the UNK norm index (reference: src/anahash.rs:50-80).
+    *
+    * Returns alphabet-class indices; values fit in 0..169 so callers may
+    * pack them into bytes with (x & 0xFF) round-trips.
+    */
+  def normalize(s: String): Array[Int] = normalizeImpl(s, unkNormIndex)
+
+  /** Anagram hash: product of one prime per consumed position, using the
+    * same greedy scan as [[normalize]] but with the hash-path UNK index
+    * (reference: src/anahash.rs:16-47). Empty string hashes to 1.
+    */
+  def anahash(s: String): java.math.BigInteger = {
+    val idxs = normalizeImpl(s, unkHashIndex)
+    var acc = java.math.BigInteger.ONE
+    var i = 0
+    while (i < idxs.length) {
+      acc = acc.multiply(AnaHash.primeFor(idxs(i)))
+      i += 1
+    }
+    acc
+  }
+
+  private def normalizeImpl(s: String, unkIndex: Int): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    out.sizeHint(s.length)
+    var pos = 0
+    while (pos < s.length) {
+      var matched = false
+      var ci = 0
+      while (!matched && ci < classes.length) {
+        val forms = classes(ci)
+        var fi = 0
+        while (!matched && fi < forms.length) {
+          val f = forms(fi)
+          if (s.startsWith(f, pos)) {
+            out += ci
+            pos += f.length
+            matched = true
+          }
+          fi += 1
+        }
+        ci += 1
+      }
+      if (!matched) {
+        out += unkIndex
+        // advance one codepoint (reference iterates char_indices =
+        // unicode scalar values; surrogate pairs advance by 2 UTF-16 units)
+        pos += Character.charCount(s.codePointAt(pos))
+      }
+    }
+    out.result()
+  }
+}
+
+object Alphabet {
+
+  /** Parse the reference's alphabet TSV: one class per line, tab-separated
+    * equivalent surface forms, `\s`/`\t`/`\n` escapes, blank lines and
+    * `#`-comments skipped (reference: src/lib.rs:369-407).
+    */
+  def parse(lines: Iterator[String]): Alphabet = {
+    val classes = lines
+      .map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
+        line
+          .split('\t')
+          .iterator
+          .map(unescape)
+          .filter(_.nonEmpty)
+          .toIndexedSeq
+      }
+      .filter(_.nonEmpty)
+      .toIndexedSeq
+    Alphabet(classes)
+  }
+
+  def fromFile(path: String): Alphabet = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\s", " ").replace("\\t", "\t").replace("\\n", "\n")
+
+  /** The reference test alphabet: a-z case-folded plus one `.`/`,` class
+    * (reference: src/test.rs:3-31). 27 classes; UNK hash index 27.
+    */
+  val test: Alphabet = Alphabet(
+    (('a' to 'z').map(c => IndexedSeq(c.toString, c.toUpper.toString)) :+
+      IndexedSeq(".", ",")).toIndexedSeq
+  )
+
+  /** Simple latin alphabet with digit classes, mirroring the shape of the
+    * reference's examples/simple.alphabet.tsv: case + common-diacritic
+    * folding for a-z, plus 0-9.
+    */
+  val simpleLatin: Alphabet = {
+    val diacritics: Map[Char, String] = Map(
+      'a' -> "áàäâãå", 'e' -> "éèëê", 'i' -> "íìïî", 'o' -> "óòöôõø",
+      'u' -> "úùüû", 'c' -> "ç", 'n' -> "ñ", 'y' -> "ýÿ"
+    )
+    val letters = ('a' to 'z').map { c =>
+      val extra = diacritics.getOrElse(c, "").flatMap(d =>
+        Seq(d.toString, d.toUpper.toString))
+      (IndexedSeq(c.toString, c.toUpper.toString) ++ extra).toIndexedSeq
+    }
+    val digits = ('0' to '9').map(d => IndexedSeq(d.toString))
+    Alphabet((letters ++ digits).toIndexedSeq)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.kernel
+
+/** String-distance kernels over alphabet-normalized index arrays.
+  * Semantics are bit-for-bit with the reference (src/distance.rs):
+  * each returns -1 where the reference returns None (max exceeded),
+  * keeping the hot path allocation-free.
+  */
+object Distances {
+
+  /** Plain Levenshtein with early length-band abort
+    * (reference: src/distance.rs:7-82). Returns -1 if > maxDistance.
+    */
+  def levenshtein(a: Array[Int], b: Array[Int], maxDistance: Int): Int = {
+    if (java.util.Arrays.equals(a, b)) return 0
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return if (lb > maxDistance) -1 else lb
+    if (la > lb && la - lb > maxDistance) return -1
+    if (lb == 0) return if (la > maxDistance) -1 else la
+    if (lb > la && lb - la > maxDistance) return -1
+
+    val cache = new Array[Int](la)
+    var i = 0
+    while (i < la) { cache(i) = i + 1; i += 1 }
+    var result = 0
+    var ib = 0
+    while (ib < lb) {
+      val eb = b(ib)
+      result = ib
+      var distA = ib
+      var ia = 0
+      while (ia < la) {
+        val distB = if (a(ia) == eb) distA else distA + 1
+        distA = cache(ia)
+        result =
+          if (distA > result) { if (distB > result) result + 1 else distB }
+          else if (distB > distA) distA + 1
+          else distB
+        cache(ia) = result
+        ia += 1
+      }
+      ib += 1
+    }
+    if (result > maxDistance) -1 else result
+  }
+
+  /** Full Damerau-Levenshtein (unrestricted, with the last-occurrence map —
+    * not the OSA restriction), the dedup pipeline's verification kernel
+    * (reference: src/distance.rs:101-179). Returns -1 if > maxDistance.
+    */
+  def damerauLevenshtein(s: Array[Int], t: Array[Int], maxDistance: Int): Int = {
+    val lenS = s.length
+    val lenT = t.length
+    if (lenS == 0) return if (lenT > maxDistance) -1 else lenT
+    if (lenS > lenT && lenS - lenT > maxDistance) return -1
+    if (lenT == 0) return if (lenS > maxDistance) -1 else lenS
+    if (lenT > lenS && lenT - lenS > maxDistance) return -1
+
+    val inf = lenS + lenT
+    // flat (lenS+2) x (lenT+2) matrix
+    val w = lenT + 2
+    val mat = new Array[Int]((lenS + 2) * w)
+    mat(0) = inf
+    var i = 0
+    while (i <= lenS) { mat((i + 1) * w) = inf; mat((i + 1) * w + 1) = i; i += 1 }
+    i = 0
+    while (i <= lenT) { mat(i + 1) = inf; mat(w + i + 1) = i; i += 1 }
+
+    val charMap = new java.util.HashMap[Int, Int]()
+    i = 0
+    while (i < lenS) {
+      val sChar = s(i)
+      var db = 0
+      val ii = i + 1
+      var j = 0
+      while (j < lenT) {
+        val jj = j + 1
+        val tChar = t(j)
+        val last = charMap.getOrDefault(tChar, 0)
+        val cost = if (sChar == tChar) 0 else 1
+        val del = mat((ii + 1) * w + jj) + 1
+        val ins = mat(ii * w + jj + 1) + 1
+        val sub = mat(ii * w + jj) + cost
+        val trans = mat(last * w + db) + (ii - last - 1) + 1 + (jj - db - 1)
+        var m = del
+        if (ins < m) m = ins
+        if (sub < m) m = sub
+        if (trans < m) m = trans
+        mat((ii + 1) * w + jj + 1) = m
+        if (cost == 0) db = jj
+        j += 1
+      }
+      charMap.put(sChar, ii)
+      i += 1
+    }
+    val result = mat((lenS + 1) * w + lenT + 1)
+    if (result > maxDistance) -1 else result
+  }
+
+  /** Longest common substring length (reference: src/distance.rs:181-205). */
+  def longestCommonSubstring(s1: Array[Int], s2: Array[Int]): Int = {
+    var lcs = 0
+    var i = 0
+    while (i < s1.length) {
+      var j = 0
+      while (j < s2.length) {
+        if (s1(i) == s2(j)) {
+          var k = 1
+          while (i + k < s1.length && j + k < s2.length && s1(i + k) == s2(j + k))
+            k += 1
+          if (k > lcs) lcs = k
+        }
+        j += 1
+      }
+      i += 1
+    }
+    lcs
+  }
+
+  /** Common prefix length (reference: src/distance.rs:208-218). */
+  def commonPrefix(s1: Array[Int], s2: Array[Int]): Int = {
+    val n = math.min(s1.length, s2.length)
+    var i = 0
+    while (i < n && s1(i) == s2(i)) i += 1
+    i
+  }
+
+  /** Common suffix length (reference: src/distance.rs:221-231). */
+  def commonSuffix(s1: Array[Int], s2: Array[Int]): Int = {
+    val n = math.min(s1.length, s2.length)
+    var i = 0
+    while (i < n && s1(s1.length - i - 1) == s2(s2.length - i - 1)) i += 1
+    i
+  }
+}

@@ -1,0 +1,289 @@
+package graft.kernel
+
+import java.math.BigInteger
+import scala.collection.mutable
+
+import AnaHash.bigIntegerOrdering
+
+/** A vocabulary entry (reference: src/vocab.rs:8-29, simplified to the
+  * fields the matching path reads).
+  */
+final case class VocabEntry(
+    id: Long,
+    text: String,
+    norm: Array[Int],
+    frequency: Long,
+    transparent: Boolean,
+    /** outgoing VariantOf edges: (targetId, score) (reference: src/types.rs:316-324) */
+    variantOf: List[(Long, Double)]
+)
+
+/** In-memory port of the reference's variant-matching engine
+  * (reference: src/lib.rs VariantModel — build src/lib.rs:190-245,
+  * find_variants src/lib.rs:972-1027). Two jobs:
+  *
+  *  1. the parity anchor: ScalaTest asserts its outputs against the
+  *     reference's own unit-test expected values (tests/main.rs 04xx/08xx);
+  *  2. the broadcastable kernel: at reference scale (lexicons ≤ a few 100k
+  *     rows) the whole index fits comfortably in executor memory, so the
+  *     Spark matcher broadcasts one of these and maps partitions — zero
+  *     shuffle in the verify stage, which is what makes the throughput
+  *     scale near-linearly with cores. The declarative join-based plan in
+  *     graft.operators.VariantMatcher covers the huge-lexicon case and is
+  *     tested equal to this one.
+  *
+  * Instances are immutable after build(); safe to broadcast.
+  */
+final class LocalVariantModel(
+    val alphabet: Alphabet,
+    val weights: Weights = Weights(),
+    frequencyHandling: String = "sum"
+) extends Serializable {
+
+  private val entries = mutable.ArrayBuffer.empty[VocabEntry]
+  private val encoder = mutable.HashMap.empty[String, Int]
+  // primary anagram index: anavalue -> vocab ids in insertion order
+  // (reference: src/index.rs:5-12)
+  private var index: Map[BigInteger, Vector[Long]] = Map.empty
+  // secondary index: charcount -> numerically ascending anavalues
+  // (reference: src/lib.rs:222-245)
+  private var sortedIndex: Map[Int, Vector[BigInteger]] = Map.empty
+  private var anavalues: Map[Long, BigInteger] = Map.empty
+  var haveFreq: Boolean = false
+
+  def alphabetSizeWithUnk: Int = alphabet.size + 1
+
+  def vocab: collection.IndexedSeq[VocabEntry] = entries
+
+  def get(text: String): Option[VocabEntry] =
+    encoder.get(text).map(entries(_))
+
+  /** Insert or merge a vocabulary item. Frequency merge on duplicates
+    * follows the reference's Sum/Max/Min/Replace (src/lib.rs:900-967,
+    * src/vocab.rs:100-106); a later non-transparent insert clears the
+    * transparent flag (src/lib.rs:935-940).
+    */
+  def add(
+      text: String,
+      frequency: Option[Long] = None,
+      transparent: Boolean = false
+  ): Long = {
+    if (frequency.isDefined) haveFreq = true
+    val freq = frequency.getOrElse(1L)
+    encoder.get(text) match {
+      case Some(i) =>
+        val e = entries(i)
+        val merged = frequencyHandling match {
+          case "sum"     => e.frequency + freq
+          case "max"     => math.max(e.frequency, freq)
+          case "min"     => math.min(e.frequency, freq)
+          case "replace" => freq
+          case other => throw new IllegalArgumentException(other)
+        }
+        entries(i) = e.copy(
+          frequency = merged,
+          transparent = e.transparent && transparent
+        )
+        e.id
+      case None =>
+        val id = entries.length.toLong
+        entries += VocabEntry(id, text, alphabet.normalize(text), freq,
+          transparent, Nil)
+        encoder(text) = entries.length - 1
+        id
+    }
+  }
+
+  /** Add a weighted VariantOf edge variant -> target (reference:
+    * src/lib.rs:478-514 add_variant; used by the error-list reader).
+    */
+  def addVariantEdge(variantText: String, targetText: String, score: Double,
+      transparentVariant: Boolean = true): Unit = {
+    val targetId = add(targetText)
+    val vIdx = encoder.getOrElse(variantText, {
+      add(variantText, None, transparent = transparentVariant)
+      encoder(variantText)
+    })
+    val e = entries(vIdx)
+    entries(vIdx) = e.copy(variantOf = (targetId, score) :: e.variantOf)
+  }
+
+  /** Build the anagram index + charcount-partitioned secondary index
+    * (reference: src/lib.rs:190-245).
+    */
+  def build(): this.type = {
+    val idx = mutable.LinkedHashMap.empty[BigInteger, Vector[Long]]
+    val avs = mutable.HashMap.empty[Long, BigInteger]
+    for (e <- entries) {
+      val av = alphabet.anahash(e.text)
+      avs(e.id) = av
+      idx(av) = idx.getOrElse(av, Vector.empty) :+ e.id
+    }
+    index = idx.toMap
+    anavalues = avs.toMap
+    sortedIndex = index.keysIterator.toVector
+      .map(av => (AnaHash.charCount(av, alphabetSizeWithUnk), av))
+      .groupBy(_._1)
+      .map { case (cc, vs) => cc -> vs.map(_._2).sortBy(identity) }
+    this
+  }
+
+  def anagramInstances(av: BigInteger): Vector[Long] =
+    index.getOrElse(av, Vector.empty)
+
+  /** Candidate anagram values near `focus`: exact probe + deletion BFS +
+    * containment scan over the charcount-bucketed secondary index
+    * (reference: src/lib.rs:1143-1308). Returned ascending (BTreeSet order)
+    * so downstream gather order is deterministic.
+    */
+  def findNearestAnahashes(
+      focus: BigInteger,
+      maxDistance: Int,
+      stopCriterion: StopCriterion = StopCriterion.Exhaustive
+  ): Vector[BigInteger] = {
+    val nearest = mutable.TreeSet.empty[BigInteger]
+    if (index.contains(focus)) {
+      nearest += focus
+      if (stopCriterion == StopCriterion.StopAtExactMatch &&
+        index(focus).nonEmpty) return nearest.toVector
+    }
+    val (focusUpper, focusCharCount) =
+      AnaHash.alphabetUpperBound(focus, alphabetSizeWithUnk)
+    val focusAlphabetSize = focusUpper + 1
+
+    // (lookup value, target charcount) containment probes
+    val lookups = mutable.HashSet.empty[(BigInteger, Int)]
+    for (d <- 1 to maxDistance) lookups += ((focus, focusCharCount + d))
+
+    val deletions =
+      AnaHash.deletionNeighborhood(focus, focusAlphabetSize + 1, maxDistance)
+    for ((del, dist) <- deletions) {
+      if (index.contains(del)) nearest += del
+      val delCharCount = focusCharCount - dist
+      for (sd <- 1 to (maxDistance - dist))
+        lookups += ((del, delCharCount + sd))
+    }
+
+    // containment scan: per target charcount, keep index values divisible
+    // by any scheduled lookup value (reference: src/lib.rs:1266-1281)
+    val byCc = lookups.groupBy(_._2)
+    for ((cc, probes) <- byCc; bucket <- sortedIndex.get(cc)) {
+      val values = probes.iterator.map(_._1).toArray
+      for (candidate <- bucket) {
+        var i = 0
+        var found = false
+        while (i < values.length && !found) {
+          if (AnaHash.contains(candidate, values(i))) {
+            nearest += candidate
+            found = true
+          }
+          i += 1
+        }
+      }
+    }
+    nearest.toVector
+  }
+
+  /** Gather vocab instances under the nearest anagram values and verify
+    * with the DL kernel (reference: src/lib.rs:1311-1402). Order =
+    * ascending anavalue, then insertion order — this order feeds the
+    * stable ranking sort and is part of the reference's deterministic
+    * tie-breaking.
+    */
+  def gatherInstances(
+      nearest: Vector[BigInteger],
+      queryNorm: Array[Int],
+      queryText: String,
+      maxEditDistance: Int
+  ): Vector[(Long, Distance)] = {
+    val out = Vector.newBuilder[(Long, Distance)]
+    for (av <- nearest; id <- index.getOrElse(av, Vector.empty)) {
+      val e = entries(id.toInt)
+      Scoring.distanceFeatures(queryNorm, queryText, e.norm, e.text,
+        maxEditDistance, weights).foreach(d => out += ((id, d)))
+    }
+    out.result()
+  }
+
+  /** Score, threshold, expand variants, normalize frequencies, rank,
+    * dedup, tie-aware top-k and relative cutoff
+    * (reference: src/lib.rs:1405-1653).
+    */
+  def scoreAndRank(
+      instances: Vector[(Long, Distance)],
+      inputLength: Int,
+      params: SearchParameters
+  ): Vector[VariantResult] = {
+    var maxFreq = 0.0
+    var hasExpandable = false
+    val results = Vector.newBuilder[VariantResult]
+    for ((id, dist) <- instances) {
+      val e = entries(id.toInt)
+      val s = Scoring.score(dist, inputLength, weights)
+      val freqScore = if (haveFreq) e.frequency.toDouble else 1.0
+      if (freqScore > maxFreq) maxFreq = freqScore
+      if (!hasExpandable && e.variantOf.nonEmpty) hasExpandable = true
+      if (s >= params.scoreThreshold)
+        results += VariantResult(id, s, freqScore)
+    }
+    var rs = results.result()
+    if (hasExpandable) {
+      rs = expandVariants(rs)
+      for (r <- rs) if (r.freqScore > maxFreq) maxFreq = r.freqScore
+    }
+    if (maxFreq > 0.0) rs = rs.map(r => r.copy(freqScore = r.freqScore / maxFreq))
+    rs = Scoring.rank(rs, params.freqWeight)
+    if (hasExpandable) {
+      // dedup consecutive duplicates by vocab id, keeping first
+      // (reference: Vec::dedup_by_key, src/lib.rs:1530-1533)
+      val b = Vector.newBuilder[VariantResult]
+      var last = -1L
+      for (r <- rs) { if (r.vocabId != last) b += r; last = r.vocabId }
+      rs = b.result()
+    }
+    rs = Scoring.truncateTieAware(rs, params.maxMatches, params.freqWeight)
+    Scoring.applyCutoff(rs, params.cutoffThreshold, params.freqWeight)
+  }
+
+  /** Expand VariantOf edges; transparent originals are dropped
+    * (reference: src/lib.rs:1677-1727).
+    */
+  def expandVariants(results: Vector[VariantResult]): Vector[VariantResult] = {
+    val out = Vector.newBuilder[VariantResult]
+    for (r <- results) {
+      val e = entries(r.vocabId.toInt)
+      // edges were prepended on insert; reference stores them in file
+      // order, so restore insertion order here
+      for ((targetId, edgeScore) <- e.variantOf.reverse) {
+        val target = entries(targetId.toInt)
+        out += VariantResult(
+          targetId,
+          r.distScore * edgeScore,
+          math.min(target.frequency.toDouble, r.freqScore),
+          via = Some(r.vocabId)
+        )
+      }
+      if (!e.transparent) out += r
+    }
+    out.result()
+  }
+
+  /** The flagship entry point: ranked variants for one input string
+    * (reference: src/lib.rs:972-1027).
+    */
+  def findVariants(input: String, params: SearchParameters): Vector[VariantResult] = {
+    val norm = alphabet.normalize(input)
+    if (norm.isEmpty) return Vector.empty
+    val focus = alphabet.anahash(input)
+    val maxAna = params.maxAnagramDistance
+      .resolve(norm.length, DistanceThreshold.MaxAnagramDistance)
+    val nearest = findNearestAnahashes(focus, maxAna, params.stopCriterion)
+    val maxEdit = params.maxEditDistance
+      .resolve(norm.length, DistanceThreshold.MaxEditDistance)
+    val instances = gatherInstances(nearest, norm, input, maxEdit)
+    scoreAndRank(instances, norm.length, params)
+  }
+
+  /** Resolve a result id back to its text. */
+  def text(id: Long): String = entries(id.toInt).text
+}
