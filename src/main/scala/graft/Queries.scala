@@ -1,0 +1,392 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Kernels, TextFns => T}
+import graft.spark.Tables
+
+/** Oracle-checked operator queries (driver contract: each entry has a
+  * Spark implementation and an equivalent DuckDB SQL; the driver runs both
+  * at sf0.01 and compares row/schema/hash — see SparkEntry).
+  *
+  * Naming follows SURVEY.md §2 operator ids (p=projection/scalar,
+  * j=join/candidate-gen, r=rank, a=aggregation build, dedup_/text_/emb_ =
+  * the training-data-pipeline operators). Operators whose semantics are
+  * not ANSI-SQL-expressible (anagram BFS, tie-aware top-k over UDF scores,
+  * the end-to-end LSH+CC pipeline) are verified in ScalaTest instead and
+  * registered later without oracle entries.
+  */
+object Queries {
+  private val K = Kernels.test
+
+  /** one query definition: spark plan + duckdb oracle sql */
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+
+  // canonical cleaned text key shared by the dedup queries
+  private def cleanK(len: Int): Column =
+    substring(T.cleanText(col("text")), 1, len)
+  private val cleanSql = "regexp_replace(lower(text),'[^a-z]','','g')"
+
+  // DuckDB class-index CASE for the 27-class test alphabet
+  private def classCase(unk: Int) =
+    s"CASE WHEN c BETWEEN 'a' AND 'z' THEN ascii(c)-97 " +
+      s"WHEN c BETWEEN 'A' AND 'Z' THEN ascii(c)-65 " +
+      s"WHEN c='.' OR c=',' THEN 26 ELSE $unk END"
+
+  val all: Map[String, Q] = Map(
+    // --- P1: greedy alphabet normalization (reference anahash.rs:50-80) ---
+    "p01_normalize" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            K.normStr(substring(col("text"), 1, 40)).as("norm")),
+      Some(
+        "SELECT doc_id, array_to_string(list_transform(" +
+          "string_split_regex(substr(text,1,40), ''), c -> CAST(" +
+          classCase(28) + " AS VARCHAR)), ' ') AS norm FROM documents"
+      )
+    ),
+
+    // --- P2: anagram value (prime product, reference anahash.rs:16-47) ---
+    "p02_anahash" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            K.anahashStr(substring(col("text"), 1, 12)).as("anavalue")),
+      Some(
+        "SELECT doc_id, CAST(list_reduce(list_transform(" +
+          "string_split_regex(substr(text,1,12), ''), c -> CAST(" +
+          "[2,3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59,61,67,71,73,79," +
+          "83,89,97,101,103,107][" + classCase(27) + " + 1] AS HUGEINT))," +
+          "(x,y) -> x*y) AS VARCHAR) AS anavalue FROM documents"
+      )
+    ),
+
+    // --- P5: Levenshtein verify over candidate pairs (same-source
+    //     blocking); Spark-native codegen'd levenshtein ---
+    "p05_levenshtein_pairs" -> Q(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), cleanK(16).as("k"), col("source"))
+        t.as("a").join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            levenshtein(col("a.k"), col("b.k")).as("lev"))
+      },
+      Some(
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,16) k, source FROM documents) " +
+          "SELECT a.doc_id a_id, b.doc_id b_id, levenshtein(a.k,b.k) lev " +
+          "FROM t a JOIN t b ON a.source=b.source AND a.doc_id<b.doc_id"
+      )
+    ),
+
+    // --- P6: Damerau-Levenshtein verification kernel over candidate
+    //     pairs, with the reference's max-distance sentinel (-1) ---
+    "p06_damerau_pairs" -> Q(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), cleanK(16).as("k"), col("source"))
+        t.as("a").join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            K.damerau(col("a.k"), col("b.k"), 6).as("dl"))
+      },
+      Some(
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,16) k, source FROM documents) " +
+          "SELECT a.doc_id a_id, b.doc_id b_id, " +
+          "CASE WHEN damerau_levenshtein(a.k,b.k) > 6 THEN -1 " +
+          "ELSE damerau_levenshtein(a.k,b.k) END AS dl " +
+          "FROM t a JOIN t b ON a.source=b.source AND a.doc_id<b.doc_id"
+      )
+    ),
+
+    // --- J2-equivalent: anagram-key grouping (equality case of the
+    //     anagram index; sorted-characters key == anagram value) ---
+    "j2_anagram_groups" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_join(array_sort(
+              filter(split(cleanK(24), ""), c => length(c) > 0)), "")
+              .as("abucket"))
+          .groupBy("abucket")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc")),
+      Some(
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,24) k FROM documents) " +
+          "SELECT array_to_string(list_sort(string_split_regex(k,'')),'') abucket, " +
+          "count(*) n_docs, min(doc_id) min_doc FROM t GROUP BY 1"
+      )
+    ),
+
+    // --- Dedup: exact (hash-group canonicalization) ---
+    "dedup_exact" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(md5(T.cleanText(col("text"))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), min(col("doc_id")).over(w).as("canon_id"))
+          .withColumn("is_dup", col("doc_id") =!= col("canon_id"))
+      },
+      Some(
+        s"SELECT doc_id, min(doc_id) OVER (PARTITION BY md5($cleanSql)) canon_id, " +
+          s"doc_id <> min(doc_id) OVER (PARTITION BY md5($cleanSql)) is_dup " +
+          "FROM documents"
+      )
+    ),
+
+    // --- Dedup: portable MinHash signature (k=12, 3-shingles) ---
+    "dedup_minhash_sig" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat_ws("_", transform(
+              T.minhashPortable(T.charShingles(substring(T.cleanText(col("text")), 1, 64), 3), 12),
+              _.cast("string"))).as("sig")),
+      Some {
+        val mins = (0 until 12).map(i =>
+          s"list_min(list_transform(sh, x -> ('0x'||substr(md5('$i:'||x),1,15))::BIGINT))")
+          .mkString(", ")
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,64) k FROM documents), " +
+          "s AS (SELECT doc_id, list_transform(range(1, greatest(length(k)-2,1)+1), " +
+          "i -> substr(k,i,3)) sh FROM t) " +
+          s"SELECT doc_id, array_to_string([$mins], '_') AS sig FROM s"
+      }
+    ),
+
+    // --- Dedup: LSH band candidate pairs (4 bands x 3 rows over the
+    //     portable signature; pair iff any band slice matches) ---
+    "dedup_lsh_pairs" -> Q(
+      (s, d) => {
+        val sig = T.minhashPortable(T.charShingles(substring(T.cleanText(col("text")), 1, 64), 3), 12)
+        val withBands = Tables.documents(s, d)
+          .select(col("doc_id") +: (0 until 4).map(b =>
+            concat_ws("_", transform(slice(sig, b * 3 + 1, 3), _.cast("string")))
+              .as(s"b$b")): _*)
+        val bandCols = (0 until 4).map(b => s"b$b")
+        // explode to (band, key) rows -> equi-join on the band key: the
+        // scalable plan (a broadcast-free shuffle join on band keys).
+        // Hot-band cap (SURVEY.md §7.4): buckets larger than 32 are
+        // dropped before pairing — low-entropy keys otherwise produce
+        // O(n^2) mega-buckets; the cap bounds every bucket's pair count
+        // and is part of the operator's documented semantics (the oracle
+        // applies the same cap).
+        // One shuffle total: groupBy the band key into buckets, drop
+        // capped buckets, expand pairs within each bucket row (builtin
+        // double-explode). A probes-side self-join would recompute the
+        // whole signature lineage once per join side; this shape computes
+        // it exactly once — the difference is 100x wall-clock at sf0.1.
+        val probes = withBands.select(col("doc_id"),
+          explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+            struct(lit(i).as("band"), col(c).as("key"))
+          }: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val buckets = probes.groupBy(col("band"), col("key"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, 32))
+        buckets
+          .select(explode(col("ids")).as("a_id"), col("ids"))
+          .select(col("a_id"), explode(col("ids")).as("b_id"))
+          .filter(col("a_id") < col("b_id"))
+          .distinct()
+      },
+      Some {
+        val mins = (0 until 12).map(i =>
+          s"list_min(list_transform(sh, x -> ('0x'||substr(md5('$i:'||x),1,15))::BIGINT))")
+          .mkString(", ")
+        val slices = (0 until 4).map(b =>
+          s"array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], '_') b$b").mkString(", ")
+        val probeRows = (0 until 4).map(b => s"SELECT doc_id, $b band, b$b bkey FROM bb")
+          .mkString(" UNION ALL ")
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,64) k FROM documents), " +
+          "s AS (SELECT doc_id, list_transform(range(1, greatest(length(k)-2,1)+1), " +
+          "i -> substr(k,i,3)) sh FROM t), " +
+          s"g AS (SELECT doc_id, [$mins] sig FROM s), " +
+          s"bb AS (SELECT doc_id, $slices FROM g), " +
+          s"probes AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) n " +
+          s"FROM ($probeRows)) WHERE n <= 32) " +
+          "SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM probes x JOIN probes y " +
+          "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
+      }
+    ),
+
+    // --- Text analysis: token counting (whitespace + subword pieces) ---
+    "text_tokens" -> Q(
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          T.tokenCount(col("text")).as("n_tokens"),
+          T.subwordCount(col("text")).as("n_subwords")),
+      Some(
+        "SELECT doc_id, len(string_split_regex(trim(text),' +')) n_tokens, " +
+          "CAST(list_sum(list_transform(string_split_regex(trim(text),' +'), " +
+          "t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) n_subwords FROM documents"
+      )
+    ),
+
+    // --- Text analysis: quality scoring ---
+    "text_quality" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), T.qualityScore(col("text")).as("quality")),
+      Some {
+        val toks = "string_split_regex(trim(text),' +')"
+        val stopHits = "len(list_filter(" + toks + ", t -> t IN (" +
+          T.enStopwords.map(w => s"'$w'").mkString(",") + ")))"
+        val nTok = s"len($toks)"
+        val alphaRatio = s"(length($cleanSql)::DOUBLE / length(text))"
+        val meanTok = s"(length(replace(text,' ',''))::DOUBLE / $nTok)"
+        val tokScore = s"(CASE WHEN $meanTok >= 3.0 AND $meanTok <= 8.0 THEN 1.0 " +
+          s"WHEN $meanTok > 8.0 THEN 8.0 / $meanTok ELSE $meanTok / 3.0 END)"
+        val stopRatio = s"($stopHits::DOUBLE / $nTok)"
+        s"SELECT doc_id, round(($alphaRatio + $tokScore + " +
+          s"least($stopRatio * 4.0, 1.0)) / 3.0, 6) AS quality FROM documents"
+      }
+    ),
+
+    // --- Text analysis: language-ID heuristic (stopword-hit ratio) ---
+    "text_langid" -> Q(
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          round(T.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          when(T.stopwordRatio(col("text")) >= 0.08, "en").otherwise("other")
+            .as("pred_lang")),
+      Some {
+        val toks = "string_split_regex(trim(text),' +')"
+        val ratio = "(len(list_filter(" + toks + ", t -> t IN (" +
+          T.enStopwords.map(w => s"'$w'").mkString(",") +
+          s")))::DOUBLE / len($toks))"
+        s"SELECT doc_id, round($ratio, 6) stop_ratio, " +
+          s"CASE WHEN $ratio >= 0.08 THEN 'en' ELSE 'other' END pred_lang " +
+          "FROM documents"
+      }
+    ),
+
+    // --- Text analysis: rolling-hash document fingerprint ---
+    "text_fingerprint" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), T.fingerprint(col("text")).as("fp")),
+      Some(
+        s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
+          s"list_transform(string_split_regex($cleanSql,''), c -> ascii(c)::BIGINT)), " +
+          "(acc, x) -> (acc * 31 + x) % 2147483647) AS fp FROM documents"
+      )
+    ),
+
+    // --- Embeddings: brute-force cosine top-k (the ANN baseline) ---
+    "emb_cosine_topk" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        val scored = q.join(e, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(T.cosine(col("q_emb"), col("emb")), 6).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) emb " +
+          "FROM embeddings), " +
+          "q AS (SELECT vec_id q_id, emb q_emb FROM e WHERE vec_id % 100 = 0), " +
+          "scored AS (SELECT q_id, e.vec_id n_id, " +
+          "round(list_cosine_similarity(q_emb, e.emb), 6) cos " +
+          "FROM q JOIN e ON e.vec_id <> q.q_id) " +
+          "SELECT * FROM (SELECT q_id, n_id, cos, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY cos DESC, n_id) rn FROM scored) WHERE rn <= 5"
+      )
+    ),
+
+    // --- The flagship operator end-to-end: find_variants over the
+    //     document token vocabulary (reference lib.rs:972-1027). Exact
+    //     oracle: anagram distance == character-bag distance, DL via
+    //     DuckDB damerau_levenshtein, weights chosen with lcs=0 (LCS has
+    //     no SQL form; full-weight scoring is pinned in ScalaTest),
+    //     unlimited matches + no cutoff so ranking is pure R1/R3. ---
+    "variant_matcher" -> Q(
+      (s, d) => {
+        import graft.operators.VariantMatcher
+        import graft.kernel.{SearchParameters => SP, DistanceThreshold => DT, Weights}
+        val toks = Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), " +")).as("text"))
+          .filter(length(col("text")) > 0)
+          .distinct()
+        val w = Window.orderBy(col("text"))
+        val lex = toks.withColumn("id", row_number().over(w).cast("long") - 1)
+        val params = SP(
+          maxAnagramDistance = DT.Absolute(3), maxEditDistance = DT.Absolute(3),
+          maxMatches = 0, scoreThreshold = 0.25, cutoffThreshold = 0.0,
+          weights = Weights(ld = 0.5, lcs = 0.0, prefix = 0.25,
+            suffix = 0.125, caseW = 0.125))
+        VariantMatcher
+          .matchJoin(s, graft.kernel.Alphabet.test, lex,
+            lex.select(col("text").as("query")), params)
+          .select(col("query"), col("rank"), col("match_text"), col("dist_score"))
+      },
+      Some {
+        def cnt(t: String, c: Char) = s"(length($t) - length(replace($t,'$c','')))"
+        val bag = ('a' to 'z')
+          .map(c => s"abs(${cnt("q.w", c)} - ${cnt("l.w", c)})").mkString(" + ")
+        val qlen = "length(q.w)"
+        val maxQ = s"least(3, CAST(floor($qlen / 2.0) AS INT))"
+        val pre = "len(list_filter(range(1, least(length(q.w),length(l.w))+1), " +
+          "i -> substr(q.w,1,i) = substr(l.w,1,i)))"
+        val suf = "len(list_filter(range(1, least(length(q.w),length(l.w))+1), " +
+          "i -> substr(q.w,length(q.w)-i+1,i) = substr(l.w,length(l.w)-i+1,i)))"
+        val score = s"(0.5*(1.0 - damerau_levenshtein(q.w,l.w)/CAST($qlen AS DOUBLE)) " +
+          s"+ 0.25*($pre/CAST($qlen AS DOUBLE)) + 0.125*($suf/CAST($qlen AS DOUBLE)) + 0.125)"
+        val primes = "[2,3,5,7,11,13,17,19,23,29,31,37,41,43,47,53,59,61,67," +
+          "71,73,79,83,89,97,101,103,107]"
+        val ana = s"list_reduce(list_prepend(1::HUGEINT, list_transform(" +
+          s"string_split_regex(l.w,''), c -> $primes[ascii(c)-96]::HUGEINT)), (x,y) -> x*y)"
+        "WITH tok AS (SELECT DISTINCT t.t w FROM (SELECT unnest(" +
+          "string_split_regex(trim(text),' +')) t FROM documents) t WHERE length(t.t) > 0), " +
+          "lex AS (SELECT w, row_number() OVER (ORDER BY w) - 1 id FROM tok), " +
+          s"cand AS (SELECT q.w query, l.w match_text, l.id, $ana anavalue, " +
+          s"$score dist_score FROM lex q JOIN lex l ON ($bag) <= $maxQ " +
+          s"AND damerau_levenshtein(q.w,l.w) <= $maxQ) " +
+          "SELECT query, CAST(row_number() OVER (PARTITION BY query ORDER BY " +
+          "dist_score DESC, anavalue, id) AS INT) rank, match_text, dist_score " +
+          "FROM cand WHERE dist_score >= 0.25"
+      }
+    ),
+
+    // --- Relational baseline: grouped aggregation (decimal-exact sums) ---
+    "q1_agg" -> Q(
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            count(lit(1)).as("n")),
+      Some(
+        "SELECT l_returnflag, l_linestatus, " +
+          "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) sum_price, " +
+          "count(*) n FROM lineitem GROUP BY 1, 2"
+      )
+    ),
+
+    // --- Relational baseline: window ranking over events ---
+    "q_window_events" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            row_number().over(w).as("rn"))
+      },
+      Some(
+        "SELECT event_id, user_id, row_number() OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) rn FROM events"
+      )
+    )
+  )
+}
