@@ -41,6 +41,25 @@ final class Kernels(alphabet: Alphabet) extends Serializable {
     (c: Column) => f(c)
   }
 
+  /** P1 (internal form): normalized text as a compact string — one char
+    * per alphabet-class index (codepoint 33 + idx, collision-free for
+    * alphabets up to 168 classes). The dedup pipeline shingles THIS, so
+    * shingle identity == normalized-class n-gram identity, exactly the
+    * reference's alphabet semantics.
+    */
+  val normKey: Column => Column = {
+    val f = udf { (s: String) =>
+      Option(s).map { x =>
+        val n = alphabet.normalize(x)
+        val sb = new java.lang.StringBuilder(n.length)
+        var i = 0
+        while (i < n.length) { sb.append((33 + n(i)).toChar); i += 1 }
+        sb.toString
+      }
+    }
+    (c: Column) => f(c)
+  }
+
   /** P2 (internal form): anagram value as canonical big-endian bytes. */
   val anahashBytes: Column => Column = {
     val f = udf { (s: String) =>

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FastHash, Kernels}
+import graft.kernel.{Alphabet, SearchParameters, Weights}
+
+/** Configuration of the near-duplicate pipeline — the fixed
+  * "shingle/signature config" (BASELINE.json): holding these constant is
+  * what makes cluster assignments comparable with the reference-semantics
+  * matcher.
+  *
+  * @param shingleN      char n-gram order over the normalized text
+  * @param minhashK      signature length (bands * rowsPerBand)
+  * @param bands         LSH bands (more bands = higher recall, more candidates)
+  * @param rowsPerBand   rows per band
+  * @param bucketCap     hot-band cap: buckets larger than this are dropped
+  *                      from pairing (documented recall accounting; count
+  *                      surfaces in the metrics table)
+  * @param simhashMaxHamming extra near-exact candidate path: pairs whose
+  *                      simhash-64 differ in at most this many bits
+  * @param scoreThreshold verification: minimum analiticcl similarity score
+  * @param maxEditDistance verification: max DL (absolute, per SearchParameters
+  *                      semantics the threshold also clamps to len/2)
+  */
+final case class DedupConfig(
+    shingleN: Int = 3,
+    minhashK: Int = 128,
+    // 64 bands x 2 rows: short texts (audio transcripts) have few shingles,
+    // so a 1-2 edit dup can sit at Jaccard ~0.5; catching J=0.5 w.p.
+    // ~1-1e-8 needs 2-row bands. False candidates cost only capped
+    // verification work; missed candidates cost recall.
+    bands: Int = 64,
+    rowsPerBand: Int = 2,
+    bucketCap: Int = 64,
+    simhashBands: Int = 4,
+    scoreThreshold: Double = 0.7,
+    maxEditDistance: Int = 3,
+    weights: Weights = Weights()
+) {
+  require(bands * rowsPerBand == minhashK, "bands * rowsPerBand must equal minhashK")
+}
+
+/** Per-stage counters, written to the metrics table by the runner. */
+final case class DedupMetrics(
+    nRows: Long,
+    nExactGroups: Long,
+    nCandidatePairs: Long,
+    nDroppedBuckets: Long,
+    nVerifiedEdges: Long,
+    nClusters: Long
+)
+
+/** The web-scale near-duplicate detection + clustering pipeline
+  * (SURVEY.md §7): MinHash-LSH + SimHash candidate generation over
+  * alphabet-normalized text, analiticcl-kernel verification, iterative
+  * DataFrame connected components.
+  *
+  * Stage layout and shuffle budget (at N input rows):
+  *   1. sketch: narrow map (one text pass per row; no shuffle)
+  *   2. exact-dup fast path: 1 shuffle (groupBy text hash)
+  *   3. LSH candidates: 1 shuffle (groupBy band key), capped buckets,
+  *      in-row pair expansion — no self-join, no second signature pass
+  *   4. simhash candidates: 1 shuffle (groupBy simhash band)
+  *   5. verify: 1 shuffle (join pair ids back to text), then narrow
+  *      kernel filter — the only non-codegen stage, run on the small
+  *      candidate set, never on the N-row table
+  *   6. connected components: O(log n) rounds over verified edges only
+  *
+  * Candidate generation never compares texts; verification never sees
+  * more than the candidate pairs. This is the structure that holds at
+  * 10^12 rows: every stage is a bounded-fanout shuffle on a synthetic
+  * key, and the only quadratic danger (bucket blowup) is capped and
+  * accounted.
+  */
+object DedupPipeline {
+
+  /** Normalized text column used for sketching: the alphabet-normalized
+    * form rendered to a compact string (one char per class index) so
+    * shingle identity == normalized-class n-gram identity — exactly the
+    * reference's alphabet semantics.
+    */
+  def normColumn(K: Kernels): Column => Column = K.normKey
+
+  /** Run the full pipeline.
+    *
+    * @param df    input with an id column (long) and a text column
+    * @return (assignments DataFrame(id, cluster), metrics)
+    *         cluster = min id of the connected component.
+    */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: DedupConfig = DedupConfig(),
+      alphabet: Alphabet = Alphabet.test
+  ): (DataFrame, DedupMetrics) = {
+    val K = new Kernels(alphabet)
+
+    // ---- 1. sketch (one pass) ----
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).cast("string").as("text"))
+      .withColumn("norm", K.normKey(col("text")))
+      .withColumn("sk", FastHash.sketch(col("norm"), cfg.shingleN, cfg.minhashK))
+      .select(col("id"), col("text"), col("norm"),
+        col("sk._1").as("sig"), col("sk._2").as("sim"))
+      .localCheckpoint(true) // sketches reused by three candidate paths
+
+    val nRows = base.count()
+
+    // ---- 2. exact duplicates (hash group; no verification needed).
+    //      Window-min star edges, not collect_list: a pathological
+    //      million-copy text must not materialize a million-element array
+    //      in one row. ----
+    import org.apache.spark.sql.expressions.Window
+    val wh = Window.partitionBy("h")
+    val exactEdges = base
+      .select(col("id"), xxhash64(col("norm")).as("h"))
+      .withColumn("root", min("id").over(wh))
+      .filter(col("id") =!= col("root"))
+      .select(col("root").as("src"), col("id").as("dst"))
+    val nExactGroups = exactEdges.select("src").distinct().count()
+
+    // ---- 3. MinHash-LSH candidates (groupBy band key, capped) ----
+    val bandRows = base.select(col("id"),
+      explode(array((0 until cfg.bands).map { b =>
+        xxhash64(lit(b), concat_ws("_", transform(
+          slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand),
+          _.cast("string"))))
+      }: _*)).as("bkey"))
+    val buckets = bandRows.groupBy("bkey")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .localCheckpoint(true)
+    val nDroppedBuckets = buckets.filter(size(col("ids")) > cfg.bucketCap).count()
+    val lshPairs = buckets
+      .filter(size(col("ids")) <= cfg.bucketCap)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+
+    // ---- 4. SimHash near-exact candidates (band the 64 bits into
+    //      simhashBands chunks; Hamming<=simhashBands-1 pairs share >=1
+    //      exact chunk — the standard pigeonhole banding) ----
+    val chunkBits = 64 / cfg.simhashBands
+    val simRows = base.select(col("id"),
+      explode(array((0 until cfg.simhashBands).map { b =>
+        concat_ws(":", lit(b),
+          shiftright(col("sim"), b * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
+      }: _*)).as("skey"))
+    val simPairs = simRows.groupBy("skey")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .filter(size(col("ids")).between(2, cfg.bucketCap))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+
+    // ---- 4b. anagram-equality candidates: same character bag (the
+    //      reference's exact-anagram probe, lib.rs:1158-1174) — catches
+    //      pure transpositions/reorderings that shingle LSH can miss ----
+    val anaPairs = base
+      .select(col("id"),
+        xxhash64(array_join(array_sort(split(col("norm"), "")), "")).as("akey"))
+      .groupBy("akey")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .filter(size(col("ids")).between(2, cfg.bucketCap))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+
+    val candidates = lshPairs.union(simPairs).union(anaPairs).distinct()
+      .localCheckpoint(true)
+    val nCandidatePairs = candidates.count()
+
+    // ---- 5. verification: analiticcl kernel score on candidate pairs ----
+    // symmetric verification: the analiticcl score normalizes by the
+    // query side's length, so score both directions and keep the max —
+    // a dup pair must be accepted regardless of which member is canonical
+    val texts = base.select(col("id"), col("text"))
+    val scored = candidates
+      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), Seq("a"))
+      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), Seq("b"))
+      .withColumn("score", greatest(
+        K.pairScore(col("ta"), col("tb"), cfg.maxEditDistance, cfg.weights),
+        K.pairScore(col("tb"), col("ta"), cfg.maxEditDistance, cfg.weights)))
+    val verifiedEdges = scored
+      .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+
+    val allEdges = verifiedEdges.union(exactEdges).localCheckpoint(true)
+    val nVerifiedEdges = allEdges.count()
+
+    // ---- 6. clustering ----
+    val cc = ConnectedComponents.run(spark, allEdges)
+    val assignments = base.select(col("id"))
+      .join(cc.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+
+    val nClusters = assignments.select("cluster").distinct().count()
+    (assignments,
+      DedupMetrics(nRows, nExactGroups, nCandidatePairs, nDroppedBuckets,
+        nVerifiedEdges, nClusters))
+  }
+}

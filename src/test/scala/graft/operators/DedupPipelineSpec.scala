@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.kernel._
+import graft.sources.SyntheticText
+
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chains, triangles, singletons and merges resolve to min-id components") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> 1
+      (10L, 11L), (11L, 10L), (10L, 10L), // dup/self edges -> 10
+      (20L, 21L), (22L, 21L), (22L, 20L), // triangle -> 20
+      (30L, 31L), (32L, 33L), (31L, 32L) // merged chain -> 30
+    ).toDF("src", "dst")
+    val got = ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      10L -> 10, 11L -> 10,
+      20L -> 20, 21L -> 20, 22L -> 20,
+      30L -> 30, 31L -> 30, 32L -> 30, 33L -> 30))
+  }
+
+  test("long path converges (log-round behavior)") {
+    val n = 200
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.run(spark, edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+}
+
+/** End-to-end dedup: recover ground-truth clusters from a corrupted
+  * corpus, and agree with the reference-semantics matcher's assignment
+  * (the north rule's recall >= 0.99 criterion, small scale).
+  */
+class DedupPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val corpus: Vector[SyntheticText.Doc] =
+    SyntheticText.corpus(seed = 42, nClusters = 120, maxDups = 3, maxEdits = 2)
+
+  lazy val cfg: DedupConfig = DedupConfig()
+
+  lazy val result: (org.apache.spark.sql.DataFrame, DedupMetrics) = {
+    val df = corpus.map(d => (d.id, d.text)).toDF("id", "text")
+    DedupPipeline.run(spark, df, "id", "text", cfg)
+  }
+
+  def truePairs: Set[(Long, Long)] =
+    corpus.groupBy(_.clusterId).values.flatMap { docs =>
+      for (a <- docs; b <- docs if a.id < b.id) yield (a.id, b.id)
+    }.toSet
+
+  def predictedPairs(assign: Map[Long, Long]): Set[(Long, Long)] =
+    assign.toSeq.groupBy(_._2).values.flatMap { members =>
+      val ids = members.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+
+  test("ground-truth recovery is sane (informational floor)") {
+    // The north-rule criterion is agreement with the REFERENCE matcher
+    // (next test). Ground truth includes pairs beyond the configured
+    // score threshold (2-edit corruptions of short phrases score < 0.7),
+    // which the reference itself does not link at this config — so this
+    // is a sanity floor, not the parity gate.
+    val (assignDf, metrics) = result
+    val assign = assignDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.size == corpus.size)
+    val tp = truePairs
+    val pp = predictedPairs(assign)
+    val recall = (tp & pp).size.toDouble / tp.size
+    val precision = if (pp.isEmpty) 1.0 else (tp & pp).size.toDouble / pp.size
+    info(s"ground-truth recall=$recall precision=$precision metrics=$metrics")
+    assert(recall >= 0.6, s"ground-truth recall $recall < 0.6")
+    assert(precision >= 0.85, s"precision $precision < 0.85")
+  }
+
+  test("agrees with the reference-semantics matcher's cluster assignment") {
+    // reference path: match every doc against the canonical lexicon with
+    // the LocalVariantModel (pinned to the reference's unit tests);
+    // cluster = best-match canonical
+    val canon = corpus.filter(_.isCanonical)
+    val model = VariantMatcher.buildModel(Alphabet.test,
+      canon.map(c => (c.text, None)))
+    val params = SearchParameters(
+      maxAnagramDistance = DistanceThreshold.Absolute(3),
+      maxEditDistance = DistanceThreshold.Absolute(3),
+      maxMatches = 1, scoreThreshold = cfg.scoreThreshold,
+      cutoffThreshold = 0.0)
+    val canonIdByText = canon.map(c => c.text -> c.id).toMap
+    val refAssign: Map[Long, Long] = corpus.map { d =>
+      val rs = model.findVariants(d.text, params)
+      val cluster = rs.headOption
+        .map(r => canonIdByText(model.text(r.vocabId)))
+        .getOrElse(d.id)
+      d.id -> cluster
+    }.toMap
+
+    val (assignDf, _) = result
+    val ourAssign = assignDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refPairs = predictedPairs(refAssign)
+    val ourPairs = predictedPairs(ourAssign)
+    val recall = if (refPairs.isEmpty) 1.0
+      else (refPairs & ourPairs).size.toDouble / refPairs.size
+    info(s"reference-pair recall=$recall (${refPairs.size} ref pairs)")
+    assert(recall >= 0.99, s"recall vs reference assignment $recall < 0.99")
+  }
+}
