@@ -1,24 +1,127 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.operators.{DedupConfig, DedupPipeline}
+import graft.sources.ClipGen
+
+/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+  *
+  * Two parts:
+  *  1. headline: the end-to-end clip-dedup pipeline (sketch -> LSH/simhash/
+  *     anagram candidates -> kernel verify -> connected components) over
+  *     the deterministic synthetic clip table, run at TWO parallelism
+  *     levels — local[cpus/4] and local[cpus] — the sandbox substitute for
+  *     N vs 4N executors (BASELINE.md): reports clips/sec at both and the
+  *     scaling efficiency (T_lo/T_hi)/4.
+  *  2. the SparkEntry operator queries at the given sf dir, each forced
+  *     end-to-end with a noop sink (count() lets Catalyst prune the very
+  *     columns being benchmarked).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val loCpus = math.max(2, cpus / 4)
+    val dedupClusters =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "40000").toInt
+
+    def timedDedup(n: Int, withCpus: Int): (Double, Long) = {
+      val spark = session(withCpus)
+      try {
+        import org.apache.spark.sql.functions._
+        val clips = ClipGen.table(spark, seed = 42L, nClusters = n)
+          .select(xxhash64(col("clip_id")).as("id"), col("transcript"))
+          .cache()
+        val total = clips.count() // generation outside the timed window
+        val t0 = System.nanoTime()
+        val (assignments, _) = DedupPipeline.run(spark, clips, "id",
+          "transcript", DedupConfig(), collectMetrics = false)
+        assignments.write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, total)
+      } finally spark.stop()
+    }
+
+    // variant-matcher query throughput against a large synthetic lexicon —
+    // directly comparable to the reference's published items/sec
+    // (BASELINE.md: 2500-3226 items/s at 8 threads on 120-220k lexicons)
+    def timedMatcher(withCpus: Int, lexSize: Int, nQueries: Int): (Double, Long) = {
+      val spark = session(withCpus)
+      try {
+        import spark.implicits._
+        import graft.kernel._
+        import graft.operators.VariantMatcher
+        val rng = new scala.util.Random(7L)
+        val lexicon = (0 until lexSize).map { _ =>
+          val len = 4 + rng.nextInt(9)
+          (String.valueOf(Array.fill(len)(('a' + rng.nextInt(26)).toChar)),
+            None: Option[Long])
+        }.distinct
+        val model = VariantMatcher.buildModel(Alphabet.simpleLatin, lexicon)
+        val queries = (0 until nQueries).map { i =>
+          graft.sources.SyntheticText.corrupt(rng, lexicon(rng.nextInt(lexicon.size))._1,
+            1 + (i % 2))
+        }
+        val qdf = queries.toDF("query").repartition(withCpus).cache()
+        qdf.count()
+        val params = SearchParameters()
+        val t0 = System.nanoTime()
+        VariantMatcher.matchBroadcast(spark, model, qdf, params)
+          .write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, nQueries.toLong)
+      } finally spark.stop()
+    }
+
+    // JIT warmup (excluded from all timings)
+    timedDedup(300, loCpus)
+
+    val (tLo, nClips) = timedDedup(dedupClusters, loCpus)
+    val (tHi, _) = timedDedup(dedupClusters, cpus)
+    val efficiency = (tLo / tHi) / (cpus.toDouble / loCpus)
+
+    val (tmLo, nQ) = timedMatcher(loCpus, 120000, 20000)
+    val (tmHi, _) = timedMatcher(cpus, 120000, 20000)
+    val mEfficiency = (tmLo / tmHi) / (cpus.toDouble / loCpus)
+
+    // operator queries, forced with a noop sink
+    val spark = session(cpus)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = tHi + results.values.sum
+    val dedupJson =
+      f"""{"clips":$nClips,"lo_cores":$loCpus,"lo_sec":$tLo%.3f,""" +
+        f""""lo_clips_per_sec":${nClips / tLo}%.1f,"hi_cores":$cpus,""" +
+        f""""hi_sec":$tHi%.3f,"hi_clips_per_sec":${nClips / tHi}%.1f,""" +
+        f""""scaling_efficiency":$efficiency%.3f}"""
+    val matcherJson =
+      f"""{"lexicon":120000,"queries":$nQ,"lo_cores":$loCpus,""" +
+        f""""lo_items_per_sec":${nQ / tmLo}%.1f,"hi_cores":$cpus,""" +
+        f""""hi_items_per_sec":${nQ / tmHi}%.1f,""" +
+        f""""scaling_efficiency":$mEfficiency%.3f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"dedup":$dedupJson,"matcher":$matcherJson,"sf":"$sfDir"}""")
   }
 }

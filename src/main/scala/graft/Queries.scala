@@ -358,6 +358,190 @@ object Queries {
       }
     ),
 
+    // --- R6: relative cutoff ranking (reference lib.rs:1597-1622) over
+    //     DL-scored candidate pairs: per query keep results until one
+    //     scores <= best/2 ---
+    "r6_rank_cutoff" -> Q(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), cleanK(16).as("k"), col("source"))
+        val scored = t.as("a").join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("q_id"), col("b.doc_id").as("m_id"),
+            (lit(1.0) - levenshtein(col("a.k"), col("b.k")) / lit(16.0)).as("score"))
+        val wq = Window.partitionBy("q_id")
+        val wr = wq.orderBy(col("score").desc, col("m_id"))
+        val ranked = scored.withColumn("rank", row_number().over(wr))
+          .withColumn("best", max(when(col("rank") === 1, col("score"))).over(wq))
+        val cutRank = min(when(col("rank") > 1 &&
+          col("score") <= col("best") / 2.0, col("rank"))).over(wq)
+        ranked.withColumn("cut", cutRank)
+          .filter(col("cut").isNull || col("rank") < col("cut"))
+          .select(col("q_id"), col("rank"), col("m_id"), col("score"))
+      },
+      Some(
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,16) k, source FROM documents), " +
+          "scored AS (SELECT a.doc_id q_id, b.doc_id m_id, " +
+          "1.0 - levenshtein(a.k,b.k)/16.0 score FROM t a JOIN t b " +
+          "ON a.source=b.source AND a.doc_id <> b.doc_id), " +
+          "ranked AS (SELECT q_id, m_id, score, CAST(row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, m_id) AS INT) rank FROM scored), " +
+          "wb AS (SELECT *, max(CASE WHEN rank = 1 THEN score END) OVER " +
+          "(PARTITION BY q_id) best FROM ranked), " +
+          "wc AS (SELECT *, min(CASE WHEN rank > 1 AND score <= best/2.0 " +
+          "THEN rank END) OVER (PARTITION BY q_id) cut FROM wb) " +
+          "SELECT q_id, rank, m_id, score FROM wc WHERE cut IS NULL OR rank < cut"
+      )
+    ),
+
+    // --- R4: tie-aware top-k truncation (reference lib.rs:1536-1589) —
+    //     integer DL scores create real tie groups at the k boundary ---
+    "r4_tie_topk" -> Q(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), cleanK(12).as("k"), col("source"))
+        val scored = t.as("a").join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("q_id"), col("b.doc_id").as("m_id"),
+            (lit(12) - levenshtein(col("a.k"), col("b.k"))).as("score"))
+        val maxM = 3
+        val wq = Window.partitionBy("q_id")
+        val wr = wq.orderBy(col("score").desc, col("m_id"))
+        val ranked = scored.withColumn("rank", row_number().over(wr))
+          .withColumn("last_s", max(when(col("rank") === maxM, col("score"))).over(wq))
+          .withColumn("crop_s", max(when(col("rank") === maxM + 1, col("score"))).over(wq))
+          .withColumn("early", min(when(col("score") === col("crop_s"), col("rank"))).over(wq))
+          .withColumn("late", min(when(col("score") < col("crop_s"), col("rank"))).over(wq))
+        ranked.filter(
+            col("crop_s").isNull ||
+              (when(col("crop_s") < col("last_s"), col("rank") <= maxM)
+                .otherwise(when(col("early") > 1, col("rank") <= col("early"))
+                  .otherwise(when(col("late") > 1, col("rank") <= col("late"))
+                    .otherwise(lit(true))))))
+          .select(col("q_id"), col("rank"), col("m_id"), col("score"))
+      },
+      Some(
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,12) k, source FROM documents), " +
+          "scored AS (SELECT a.doc_id q_id, b.doc_id m_id, " +
+          "12 - levenshtein(a.k,b.k) score FROM t a JOIN t b " +
+          "ON a.source=b.source AND a.doc_id <> b.doc_id), " +
+          "ranked AS (SELECT q_id, m_id, score, CAST(row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY score DESC, m_id) AS INT) rank FROM scored), " +
+          "ww AS (SELECT *, " +
+          "max(CASE WHEN rank = 3 THEN score END) OVER (PARTITION BY q_id) last_s, " +
+          "max(CASE WHEN rank = 4 THEN score END) OVER (PARTITION BY q_id) crop_s " +
+          "FROM ranked), " +
+          "wc AS (SELECT *, " +
+          "min(CASE WHEN score = crop_s THEN rank END) OVER (PARTITION BY q_id) early, " +
+          "min(CASE WHEN score < crop_s THEN rank END) OVER (PARTITION BY q_id) late " +
+          "FROM ww) " +
+          "SELECT q_id, rank, m_id, score FROM wc WHERE crop_s IS NULL OR " +
+          "(CASE WHEN crop_s < last_s THEN rank <= 3 " +
+          "WHEN early > 1 THEN rank <= early " +
+          "WHEN late > 1 THEN rank <= late ELSE TRUE END)"
+      )
+    ),
+
+    // --- A5: vocabulary build with frequency merge + lexicon-provenance
+    //     bitmask OR (reference lib.rs:900-967: freq sum, lexindex |=) ---
+    "a5_vocab_merge" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(trim(col("text")), " +")).as("w"),
+            regexp_replace(col("source"), "src", "").cast("int").as("srcnum"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w")
+          .agg(count(lit(1)).as("freq"),
+            expr("bit_or(shiftleft(1L, srcnum % 60))").as("lexindex"),
+            countDistinct(col("srcnum")).as("n_lexicons")),
+      Some(
+        "SELECT t.t w, count(*) freq, " +
+          "bit_or((1::BIGINT << (CAST(replace(source,'src','') AS INT) % 60))) lexindex, " +
+          "count(DISTINCT replace(source,'src','')) n_lexicons " +
+          "FROM (SELECT unnest(string_split_regex(trim(text),' +')) t, source " +
+          "FROM documents) t WHERE length(t.t) > 0 GROUP BY 1"
+      )
+    ),
+
+    // --- P13/P15: token n-gram span extraction, orders 1..3
+    //     (reference search.rs:190-313: boundaries -> ngram spans) ---
+    "p15_ngram_spans" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), " +").as("ts"))
+        val grams = (1 to 3).map { n =>
+          toks.filter(size(col("ts")) >= n) // docs shorter than n yield none
+            .select(col("doc_id"), lit(n).as("order"),
+              explode(transform(
+                sequence(lit(1), size(col("ts")) - (n - 1)),
+                i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("gram"))
+        }.reduce(_ union _)
+        grams.groupBy("order", "gram").agg(count(lit(1)).as("freq"))
+      },
+      Some {
+        val parts = (1 to 3).map(n =>
+          s"SELECT $n \"order\", array_to_string(ts[i:i+${n - 1}], ' ') gram " +
+            s"FROM toks, unnest(range(1, greatest(len(ts)-${n - 1},0)+1)) r(i)")
+          .mkString(" UNION ALL ")
+        "WITH toks AS (SELECT doc_id, string_split_regex(trim(text),' +') ts " +
+          s"FROM documents) SELECT \"order\", gram, count(*) freq FROM ($parts) " +
+          "GROUP BY 1, 2"
+      }
+    ),
+
+    // --- Join strategy baseline: filtered join + grouped top-k revenue
+    //     (broadcast the small dimension) ---
+    "q3_join_topk" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(50)
+      },
+      Some(
+        "SELECT o_orderkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) " +
+          "AS DECIMAL(18,4))) AS DOUBLE) revenue, count(*) n_lines " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 50"
+      )
+    ),
+
+    // --- Sessionization: gap > 30 min starts a new session (lag + running
+    //     sum windows — the batch form of the streaming session op) ---
+    "q_sessionize" -> Q(
+      (s, d) => {
+        val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+              1L).otherwise(0L))
+          .withColumn("session_nr", sum(col("new_sess")).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_nr"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("first_event"))
+      },
+      Some(
+        "WITH x AS (SELECT user_id, event_id, ts, lag(ts) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id) prev_ts FROM events), " +
+          "y AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+          "date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END new_sess FROM x), " +
+          "z AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id " +
+          "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) session_nr FROM y) " +
+          "SELECT user_id, session_nr, count(*) n_events, min(event_id) first_event " +
+          "FROM z GROUP BY 1, 2"
+      )
+    ),
+
     // --- Relational baseline: grouped aggregation (decimal-exact sums) ---
     "q1_agg" -> Q(
       (s, d) =>

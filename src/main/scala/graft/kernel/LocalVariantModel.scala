@@ -37,8 +37,23 @@ final case class VocabEntry(
 final class LocalVariantModel(
     val alphabet: Alphabet,
     val weights: Weights = Weights(),
-    frequencyHandling: String = "sum"
+    frequencyHandling: String = "sum",
+    /** apply confusable rescoring before pruning/expansion instead of the
+      * default after-truncation point (reference: lib.rs:96-97,1505-1508)
+      */
+    val confusablesBeforePruning: Boolean = false
 ) extends Serializable {
+
+  private val confusablesList =
+    scala.collection.mutable.ArrayBuffer.empty[Confusable]
+
+  /** Register a confusable pattern (reference: lib.rs add_to_confusables). */
+  def addConfusable(script: String, weight: Double): this.type = {
+    confusablesList += Confusable.parse(script, weight)
+    this
+  }
+
+  def confusables: Seq[Confusable] = confusablesList.toSeq
 
   private val entries = mutable.ArrayBuffer.empty[VocabEntry]
   private val encoder = mutable.HashMap.empty[String, Int]
@@ -213,7 +228,19 @@ final class LocalVariantModel(
       instances: Vector[(Long, Distance)],
       inputLength: Int,
       params: SearchParameters
+  ): Vector[VariantResult] =
+    scoreAndRank(instances, inputLength, params, input = "")
+
+  def scoreAndRank(
+      instances: Vector[(Long, Distance)],
+      inputLength: Int,
+      params: SearchParameters,
+      input: String
   ): Vector[VariantResult] = {
+    // R5 confusable rescoring (reference: lib.rs:1655-1663)
+    def rescoreConfusables(rs: Vector[VariantResult]): Vector[VariantResult] =
+      rs.map(r => r.copy(distScore = r.distScore *
+        Confusable.weightFor(confusablesList.toSeq, input, entries(r.vocabId.toInt).text)))
     var maxFreq = 0.0
     var hasExpandable = false
     val results = Vector.newBuilder[VariantResult]
@@ -227,6 +254,9 @@ final class LocalVariantModel(
         results += VariantResult(id, s, freqScore)
     }
     var rs = results.result()
+    // early confusable rescoring (reference: lib.rs:1505-1508)
+    if (confusablesList.nonEmpty && confusablesBeforePruning)
+      rs = rescoreConfusables(rs)
     if (hasExpandable) {
       rs = expandVariants(rs)
       for (r <- rs) if (r.freqScore > maxFreq) maxFreq = r.freqScore
@@ -242,6 +272,10 @@ final class LocalVariantModel(
       rs = b.result()
     }
     rs = Scoring.truncateTieAware(rs, params.maxMatches, params.freqWeight)
+    // late confusable rescoring + re-rank (default; reference: lib.rs:1591-1595)
+    if (confusablesList.nonEmpty && !confusablesBeforePruning) {
+      rs = Scoring.rank(rescoreConfusables(rs), params.freqWeight)
+    }
     Scoring.applyCutoff(rs, params.cutoffThreshold, params.freqWeight)
   }
 
@@ -281,7 +315,7 @@ final class LocalVariantModel(
     val maxEdit = params.maxEditDistance
       .resolve(norm.length, DistanceThreshold.MaxEditDistance)
     val instances = gatherInstances(nearest, norm, input, maxEdit)
-    scoreAndRank(instances, norm.length, params)
+    scoreAndRank(instances, norm.length, params, input)
   }
 
   /** Resolve a result id back to its text. */

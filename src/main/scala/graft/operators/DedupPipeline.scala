@@ -98,9 +98,14 @@ object DedupPipeline {
       idCol: String,
       textCol: String,
       cfg: DedupConfig = DedupConfig(),
-      alphabet: Alphabet = Alphabet.test
+      alphabet: Alphabet = Alphabet.test,
+      collectMetrics: Boolean = true
   ): (DataFrame, DedupMetrics) = {
     val K = new Kernels(alphabet)
+    // each metric is a separate driver action (a full job); production /
+    // benchmark runs skip them — the checkpointed runner (ClipDedup)
+    // accounts rows per stage from the written tables instead
+    def metric(f: => Long): Long = if (collectMetrics) f else -1L
 
     // ---- 1. sketch (one pass) ----
     val base = df.select(col(idCol).cast("long").as("id"),
@@ -111,7 +116,7 @@ object DedupPipeline {
         col("sk._1").as("sig"), col("sk._2").as("sim"))
       .localCheckpoint(true) // sketches reused by three candidate paths
 
-    val nRows = base.count()
+    val nRows = metric(base.count())
 
     // ---- 2. exact duplicates (hash group; no verification needed).
     //      Window-min star edges, not collect_list: a pathological
@@ -124,7 +129,7 @@ object DedupPipeline {
       .withColumn("root", min("id").over(wh))
       .filter(col("id") =!= col("root"))
       .select(col("root").as("src"), col("id").as("dst"))
-    val nExactGroups = exactEdges.select("src").distinct().count()
+    val nExactGroups = metric(exactEdges.select("src").distinct().count())
 
     // ---- 3. MinHash-LSH candidates (groupBy band key, capped) ----
     val bandRows = base.select(col("id"),
@@ -137,7 +142,7 @@ object DedupPipeline {
       .agg(sort_array(collect_list("id")).as("ids"))
       .filter(size(col("ids")) > 1)
       .localCheckpoint(true)
-    val nDroppedBuckets = buckets.filter(size(col("ids")) > cfg.bucketCap).count()
+    val nDroppedBuckets = metric(buckets.filter(size(col("ids")) > cfg.bucketCap).count())
     val lshPairs = buckets
       .filter(size(col("ids")) <= cfg.bucketCap)
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -176,7 +181,7 @@ object DedupPipeline {
 
     val candidates = lshPairs.union(simPairs).union(anaPairs).distinct()
       .localCheckpoint(true)
-    val nCandidatePairs = candidates.count()
+    val nCandidatePairs = metric(candidates.count())
 
     // ---- 5. verification: analiticcl kernel score on candidate pairs ----
     // symmetric verification: the analiticcl score normalizes by the
@@ -194,7 +199,7 @@ object DedupPipeline {
       .select(col("a").as("src"), col("b").as("dst"))
 
     val allEdges = verifiedEdges.union(exactEdges).localCheckpoint(true)
-    val nVerifiedEdges = allEdges.count()
+    val nVerifiedEdges = metric(allEdges.count())
 
     // ---- 6. clustering ----
     val cc = ConnectedComponents.run(spark, allEdges)
@@ -203,7 +208,7 @@ object DedupPipeline {
       .select(col("id"),
         coalesce(col("component"), col("id")).as("cluster"))
 
-    val nClusters = assignments.select("cluster").distinct().count()
+    val nClusters = metric(assignments.select("cluster").distinct().count())
     (assignments,
       DedupMetrics(nRows, nExactGroups, nCandidatePairs, nDroppedBuckets,
         nVerifiedEdges, nClusters))
