@@ -37,15 +37,20 @@ final case class Alphabet(classes: IndexedSeq[IndexedSeq[String]]) {
     * same greedy scan as [[normalize]] but with the hash-path UNK index
     * (reference: src/anahash.rs:16-47). Empty string hashes to 1.
     */
-  def anahash(s: String): java.math.BigInteger = {
+  def anahash(s: String): java.math.BigInteger = anahashWithMask(s)._1
+
+  /** Anagram value plus its class presence mask (see AnaHash.maskBit). */
+  def anahashWithMask(s: String): (java.math.BigInteger, Long) = {
     val idxs = normalizeImpl(s, unkHashIndex)
     var acc = java.math.BigInteger.ONE
+    var mask = 0L
     var i = 0
     while (i < idxs.length) {
       acc = acc.multiply(AnaHash.primeFor(idxs(i)))
+      mask |= AnaHash.maskBit(idxs(i))
       i += 1
     }
-    acc
+    (acc, mask)
   }
 
   private def normalizeImpl(s: String, unkIndex: Int): Array[Int] = {

@@ -153,6 +153,72 @@ object AnaHash {
     out.result()
   }
 
+  /** Presence-mask bit for alphabet class i (classes >= 63 share bit 63,
+    * which is then conservative-only). Invariant used by the containment
+    * prefilter: bag(probe) ⊆ bag(candidate) ⟹
+    * (probeMask & ~candMask) == 0 — the mask test never rejects a true
+    * containment, it only skips most guaranteed-false BigInteger mods.
+    */
+  @inline def maskBit(classIndex: Int): Long = 1L << math.min(classIndex, 63)
+
+  /** Presence mask of an anagram value (factorize up to alphabet size). */
+  def maskOf(v: BigInteger, alphabetSizeWithUnk: Int): Long = {
+    var mask = 0L
+    var cur = v
+    var i = 0
+    while (i < alphabetSizeWithUnk && cur.compareTo(BigInteger.ONE) > 0) {
+      val p = primesBig(i)
+      if (cur.mod(p).signum == 0) {
+        mask |= maskBit(i)
+        var qr = cur.divideAndRemainder(p)
+        while (qr(1).signum == 0) { cur = qr(0); qr = cur.divideAndRemainder(p) }
+      }
+      i += 1
+    }
+    mask
+  }
+
+  /** Deletion BFS that also tracks presence masks (cleared only when the
+    * last occurrence of a sub-63 class is removed). Yield order matches
+    * [[deletionNeighborhood]].
+    */
+  def deletionNeighborhoodWithMasks(
+      focus: BigInteger,
+      focusMask: Long,
+      alphabetSizeWithUnk: Int,
+      maxDistance: Int
+  ): Vector[(BigInteger, Long, Int)] = {
+    if (maxDistance <= 0) return Vector.empty
+    val visited = scala.collection.mutable.HashSet[BigInteger](focus)
+    var frontier = List((focus, focusMask))
+    val out = Vector.newBuilder[(BigInteger, Long, Int)]
+    var depth = 1
+    while (depth <= maxDistance && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[(BigInteger, Long)]
+      for ((v, mask) <- frontier) {
+        var i = alphabetSizeWithUnk - 1
+        while (i >= 0) {
+          val p = primesBig(i)
+          if ((mask & maskBit(i)) != 0 && v.mod(p).signum == 0) {
+            val parent = v.divide(p)
+            if (!visited.contains(parent)) {
+              visited += parent
+              val pm =
+                if (i < 63 && parent.mod(p).signum != 0) mask & ~maskBit(i)
+                else mask
+              next += ((parent, pm))
+              if (!isEmpty(parent)) out += ((parent, pm, depth))
+            }
+          }
+          i -= 1
+        }
+      }
+      frontier = next.toList
+      depth += 1
+    }
+    out.result()
+  }
+
   /** Canonical unsigned big-endian bytes (no redundant leading zero) for
     * storing an anagram value in a BinaryType column. Deterministic, so
     * equality joins/groupBys work; numeric order = (length, lexicographic)

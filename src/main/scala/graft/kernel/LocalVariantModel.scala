@@ -15,8 +15,15 @@ final case class VocabEntry(
     frequency: Long,
     transparent: Boolean,
     /** outgoing VariantOf edges: (targetId, score) (reference: src/types.rs:316-324) */
-    variantOf: List[(Long, Double)]
-)
+    variantOf: List[(Long, Double)],
+    /** participates in the anagram index (reference: VocabType::INDEXED) */
+    indexed: Boolean = true,
+    /** participates in the language model (reference: VocabType::LM) */
+    lm: Boolean = false
+) {
+  /** number of space-separated tokens (reference: vocab.rs tokencount) */
+  def tokenCount: Int = text.count(_ == ' ') + 1
+}
 
 /** In-memory port of the reference's variant-matching engine
   * (reference: src/lib.rs VariantModel — build src/lib.rs:190-245,
@@ -37,7 +44,8 @@ final case class VocabEntry(
 final class LocalVariantModel(
     val alphabet: Alphabet,
     val weights: Weights = Weights(),
-    frequencyHandling: String = "sum",
+    // reference default is Max (vocab.rs VocabParams::default)
+    frequencyHandling: String = "max",
     /** apply confusable rescoring before pruning/expansion instead of the
       * default after-truncation point (reference: lib.rs:96-97,1505-1508)
       */
@@ -60,11 +68,25 @@ final class LocalVariantModel(
   // primary anagram index: anavalue -> vocab ids in insertion order
   // (reference: src/index.rs:5-12)
   private var index: Map[BigInteger, Vector[Long]] = Map.empty
-  // secondary index: charcount -> numerically ascending anavalues
-  // (reference: src/lib.rs:222-245)
-  private var sortedIndex: Map[Int, Vector[BigInteger]] = Map.empty
+  // secondary index: charcount -> numerically ascending anavalues as
+  // parallel primitive-friendly arrays (values + presence masks) so the
+  // containment scan is a tight loop with a 1-AND prefilter
+  // (reference: src/lib.rs:222-245; scan lib.rs:1266-1281)
+  private var sortedIndex: Map[Int, (Array[BigInteger], Array[Long])] = Map.empty
   private var anavalues: Map[Long, BigInteger] = Map.empty
   var haveFreq: Boolean = false
+  // language model state (reference: lib.rs ngrams/have_lm)
+  private var ngramCounts: Map[Vector[Long], Long] = Map.empty
+  var haveLm: Boolean = false
+
+  // special tokens pre-seeded like the reference (vocab.rs:145-181)
+  entries += VocabEntry(0, "<bos>", Array.empty, 0, transparent = false, Nil,
+    indexed = false)
+  entries += VocabEntry(1, "<eos>", Array.empty, 0, transparent = false, Nil,
+    indexed = false)
+  entries += VocabEntry(2, "<unk>", Array.empty, 0, transparent = false, Nil,
+    indexed = false)
+  encoder("<bos>") = 0; encoder("<eos>") = 1; encoder("<unk>") = 2
 
   def alphabetSizeWithUnk: Int = alphabet.size + 1
 
@@ -81,7 +103,9 @@ final class LocalVariantModel(
   def add(
       text: String,
       frequency: Option[Long] = None,
-      transparent: Boolean = false
+      transparent: Boolean = false,
+      indexed: Boolean = true,
+      lm: Boolean = false
   ): Long = {
     if (frequency.isDefined) haveFreq = true
     val freq = frequency.getOrElse(1L)
@@ -97,17 +121,41 @@ final class LocalVariantModel(
         }
         entries(i) = e.copy(
           frequency = merged,
-          transparent = e.transparent && transparent
+          transparent = e.transparent && transparent,
+          indexed = e.indexed || indexed,
+          lm = e.lm || lm
         )
         e.id
       case None =>
         val id = entries.length.toLong
         entries += VocabEntry(id, text, alphabet.normalize(text), freq,
-          transparent, Nil)
+          transparent, Nil, indexed = indexed, lm = lm)
         encoder(text) = entries.length - 1
         id
     }
   }
+
+  /** Add a language-model n-gram entry (reference: VocabType::LM load,
+    * bin/analiticcl.rs:1070-1082). Space-separated tokens, may reference
+    * &lt;bos&gt;/&lt;eos&gt;.
+    */
+  def addLm(text: String, frequency: Long): Long =
+    add(text, Some(frequency), indexed = false, lm = true)
+
+  /** Encode a single token (reference: encode_token with use_unk=true). */
+  def encodeToken(token: String): Long =
+    encoder.get(token).map(entries(_).id).getOrElse(LocalVariantModel.UNK)
+
+  /** Exact encoder lookup (no UNK fallback). */
+  def encode(text: String): Option[Long] = encoder.get(text).map(entries(_).id)
+
+  /** Decompose a vocab entry into component unigram ids (reference:
+    * into_ngram, lib.rs:2688-2729; unknown parts become UNK).
+    */
+  def intoNgram(id: Long): Vector[Long] =
+    entries(id.toInt).text.split(' ').iterator.map(encodeToken).toVector
+
+  def ngramCount(ngram: Vector[Long]): Option[Long] = ngramCounts.get(ngram)
 
   /** Add a weighted VariantOf edge variant -> target (reference:
     * src/lib.rs:478-514 add_variant; used by the error-list reader).
@@ -129,19 +177,68 @@ final class LocalVariantModel(
   def build(): this.type = {
     val idx = mutable.LinkedHashMap.empty[BigInteger, Vector[Long]]
     val avs = mutable.HashMap.empty[Long, BigInteger]
-    for (e <- entries) {
-      val av = alphabet.anahash(e.text)
+    val masks = mutable.HashMap.empty[BigInteger, Long]
+    val counts = mutable.HashMap.empty[BigInteger, Int]
+    for (e <- entries if e.indexed) {
+      val (av, mask) = alphabet.anahashWithMask(e.text)
       avs(e.id) = av
       idx(av) = idx.getOrElse(av, Vector.empty) :+ e.id
+      masks(av) = mask
+      // charcount == normalized length for values built from text
+      counts.getOrElseUpdate(av, e.norm.length)
     }
     index = idx.toMap
     anavalues = avs.toMap
     sortedIndex = index.keysIterator.toVector
-      .map(av => (AnaHash.charCount(av, alphabetSizeWithUnk), av))
+      .map(av => (counts(av), av))
       .groupBy(_._1)
-      .map { case (cc, vs) => cc -> vs.map(_._2).sortBy(identity) }
+      .map { case (cc, vs) =>
+        val sorted = vs.map(_._2).sortBy(identity).toArray
+        cc -> (sorted, sorted.map(masks))
+      }
+    // language model (reference: lib.rs:247-297)
+    val lmCounts = mutable.HashMap.empty[Vector[Long], Long]
+    for (e <- entries if e.lm) {
+      val ngram = intoNgram(e.id)
+      if (ngram.nonEmpty)
+        lmCounts(ngram) = lmCounts.getOrElse(ngram, 0L) + e.frequency
+    }
+    ngramCounts = lmCounts.toMap
+    haveLm = ngramCounts.nonEmpty
     this
   }
+
+  /** Port of lm_score_tokens (reference: lib.rs:2632-2674): bigram
+    * logprob with add-one/fixed smoothing; tokens are Some(id) or None
+    * for out-of-vocabulary. Returns (logprob, perplexity).
+    */
+  def lmScoreTokens(tokens: IndexedSeq[Option[Long]]): (Float, Double) = {
+    val smoothing = -13.815510557964274f // search.rs:4
+    var logprob = 0.0f
+    var n = 0
+    var i = 1
+    while (i < tokens.length) {
+      (tokens(i - 1), tokens(i)) match {
+        case (Some(a), Some(b)) =>
+          val priorCount = ngramCounts.getOrElse(Vector(a), 1L)
+          ngramCounts.get(Vector(a, b)) match {
+            case Some(joint) =>
+              logprob +=
+                (if (priorCount < joint) math.log(joint.toDouble).toFloat
+                 else math.log(joint.toDouble / priorCount.toDouble).toFloat)
+            case None => logprob += smoothing
+          }
+          n += 1
+        case _ =>
+          n += 1
+          logprob += smoothing
+      }
+      i += 1
+    }
+    val perplexity = -1.0 / n.toDouble * logprob.toDouble
+    (logprob, perplexity)
+  }
+
 
   def anagramInstances(av: BigInteger): Vector[Long] =
     index.getOrElse(av, Vector.empty)
@@ -162,38 +259,49 @@ final class LocalVariantModel(
       if (stopCriterion == StopCriterion.StopAtExactMatch &&
         index(focus).nonEmpty) return nearest.toVector
     }
+    val focusMask = AnaHash.maskOf(focus, alphabetSizeWithUnk)
     val (focusUpper, focusCharCount) =
       AnaHash.alphabetUpperBound(focus, alphabetSizeWithUnk)
     val focusAlphabetSize = focusUpper + 1
 
-    // (lookup value, target charcount) containment probes
-    val lookups = mutable.HashSet.empty[(BigInteger, Int)]
-    for (d <- 1 to maxDistance) lookups += ((focus, focusCharCount + d))
+    // (lookup value, mask, target charcount) containment probes
+    val lookups = mutable.LinkedHashMap.empty[(BigInteger, Int), Long]
+    for (d <- 1 to maxDistance)
+      lookups((focus, focusCharCount + d)) = focusMask
 
-    val deletions =
-      AnaHash.deletionNeighborhood(focus, focusAlphabetSize + 1, maxDistance)
-    for ((del, dist) <- deletions) {
+    val deletions = AnaHash.deletionNeighborhoodWithMasks(
+      focus, focusMask, focusAlphabetSize + 1, maxDistance)
+    for ((del, mask, dist) <- deletions) {
       if (index.contains(del)) nearest += del
       val delCharCount = focusCharCount - dist
       for (sd <- 1 to (maxDistance - dist))
-        lookups += ((del, delCharCount + sd))
+        lookups.getOrElseUpdate((del, delCharCount + sd), mask)
     }
 
     // containment scan: per target charcount, keep index values divisible
-    // by any scheduled lookup value (reference: src/lib.rs:1266-1281)
-    val byCc = lookups.groupBy(_._2)
-    for ((cc, probes) <- byCc; bucket <- sortedIndex.get(cc)) {
-      val values = probes.iterator.map(_._1).toArray
-      for (candidate <- bucket) {
-        var i = 0
+    // by any scheduled lookup value (reference: src/lib.rs:1266-1281).
+    // Tight loop with a presence-mask prefilter — the vast majority of
+    // (candidate, probe) tests die on one AND instead of a BigInteger mod.
+    val byCc = lookups.keysIterator.toVector.groupBy(_._2)
+    for ((cc, probeKeys) <- byCc; bucket <- sortedIndex.get(cc)) {
+      val (candidates, candMasks) = bucket
+      val values = probeKeys.map(_._1).toArray
+      val probeMasks = probeKeys.map(k => lookups(k)).toArray
+      var ci = 0
+      while (ci < candidates.length) {
+        val cand = candidates(ci)
+        val cMask = candMasks(ci)
+        var pi = 0
         var found = false
-        while (i < values.length && !found) {
-          if (AnaHash.contains(candidate, values(i))) {
-            nearest += candidate
+        while (pi < values.length && !found) {
+          if ((probeMasks(pi) & ~cMask) == 0 &&
+            AnaHash.contains(cand, values(pi))) {
+            nearest += cand
             found = true
           }
-          i += 1
+          pi += 1
         }
+        ci += 1
       }
     }
     nearest.toVector
@@ -320,4 +428,13 @@ final class LocalVariantModel(
 
   /** Resolve a result id back to its text. */
   def text(id: Long): String = entries(id.toInt).text
+
+  def entry(id: Long): VocabEntry = entries(id.toInt)
+}
+
+object LocalVariantModel {
+  /** Pre-seeded special token ids (reference: vocab.rs:145-147). */
+  val BOS = 0L
+  val EOS = 1L
+  val UNK = 2L
 }

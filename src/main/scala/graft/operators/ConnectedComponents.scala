@@ -51,6 +51,17 @@ object ConnectedComponents {
       col(dstCol).cast("long").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // convergence: edge-set checksum unchanged (memoized — one aggregate
+    // per round, not two; far cheaper than except/except at scale).
+    // bit_xor is safe: edges are distinct by construction and xor cannot
+    // overflow under ANSI.
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevChecksum = checksum(e)
+
     var iteration = 0
     var converged = false
     while (!converged && iteration < maxIterations) {
@@ -74,15 +85,9 @@ object ConnectedComponents {
         .union(mins2.select(col("u").as("src"), col("m").as("dst")))
       val next = canon(small).localCheckpoint(true) // cut lineage each round
 
-      // convergence: edge-set checksum unchanged (one aggregate per side —
-      // far cheaper than except/except at scale). bit_xor is safe: edges
-      // are distinct by construction and xor cannot overflow under ANSI.
-      def checksum(df: DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)),
-          expr("bit_xor(xxhash64(src, dst))")).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      converged = checksum(next) == checksum(e)
+      val nextChecksum = checksum(next)
+      converged = nextChecksum == prevChecksum
+      prevChecksum = nextChecksum
       e.unpersist()
       e = next
       iteration += 1

@@ -138,10 +138,11 @@ object DedupPipeline {
           slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand),
           _.cast("string"))))
       }: _*)).as("bkey"))
-    val buckets = bandRows.groupBy("bkey")
+    val buckets0 = bandRows.groupBy("bkey")
       .agg(sort_array(collect_list("id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .localCheckpoint(true)
+    // only materialize when the dropped-bucket metric will re-read it
+    val buckets = if (collectMetrics) buckets0.localCheckpoint(true) else buckets0
     val nDroppedBuckets = metric(buckets.filter(size(col("ids")) > cfg.bucketCap).count())
     val lshPairs = buckets
       .filter(size(col("ids")) <= cfg.bucketCap)
@@ -179,8 +180,8 @@ object DedupPipeline {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
 
-    val candidates = lshPairs.union(simPairs).union(anaPairs).distinct()
-      .localCheckpoint(true)
+    val candidates0 = lshPairs.union(simPairs).union(anaPairs).distinct()
+    val candidates = if (collectMetrics) candidates0.localCheckpoint(true) else candidates0
     val nCandidatePairs = metric(candidates.count())
 
     // ---- 5. verification: analiticcl kernel score on candidate pairs ----
@@ -198,6 +199,7 @@ object DedupPipeline {
       .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
       .select(col("a").as("src"), col("b").as("dst"))
 
+    // always checkpoint edges: CC iterates over them
     val allEdges = verifiedEdges.union(exactEdges).localCheckpoint(true)
     val nVerifiedEdges = metric(allEdges.count())
 

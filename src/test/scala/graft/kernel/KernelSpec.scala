@@ -218,7 +218,12 @@ class KernelSpec extends AnyFunSuite {
   // --- frequency handling (reference: src/lib.rs:900-967) ---
 
   test("frequency merge sum + freq tie-break in ranking") {
-    val m = new LocalVariantModel(Alphabet.test)
+    // reference default handling is Max (vocab.rs VocabParams::default)
+    val mx = new LocalVariantModel(Alphabet.test)
+    mx.add("word", Some(5))
+    mx.add("word", Some(7))
+    assert(mx.get("word").get.frequency == 7)
+    val m = new LocalVariantModel(Alphabet.test, frequencyHandling = "sum")
     m.add("word", Some(5))
     m.add("word", Some(7))
     assert(m.get("word").get.frequency == 12)
