@@ -27,6 +27,20 @@ object Queries {
       oracle: Option[String]
   )
 
+  /** 8 deterministic integer hyperplanes over the 64-dim embedding space
+    * for the sign-LSH ANN query: fixed LCG, weights in [-500, 500]. The
+    * same literals are interpolated into the DuckDB oracle, so the bucket
+    * bits are exact integer math on both engines.
+    */
+  val annPlanes: Seq[Seq[Long]] = {
+    var state = 0x5DEECE66DL
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33) % 1001L - 500L
+    }
+    Seq.fill(8)(Seq.fill(64)(next()))
+  }
+
   // canonical cleaned text key shared by the dedup queries
   private def cleanK(len: Int): Column =
     substring(T.cleanText(col("text")), 1, len)
@@ -212,6 +226,86 @@ object Queries {
           s"FROM ($probeRows)) WHERE n <= 32) " +
           "SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM probes x JOIN probes y " +
           "ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
+      }
+    ),
+
+    // --- Dedup: n-gram Jaccard similarity over blocked candidate pairs
+    //     (3-shingle sets; |A∩B| / |A∪B| by inclusion-exclusion, so both
+    //     engines divide the same exact integers) ---
+    "dedup_jaccard" -> Q(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          array_distinct(
+            T.charShingles(substring(T.cleanText(col("text")), 1, 32), 3))
+            .as("sh"))
+        t.as("a").join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            size(array_intersect(col("a.sh"), col("b.sh"))).as("i"),
+            size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+          .select(col("a_id"), col("b_id"),
+            round(col("i").cast("double") /
+              (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"))
+      },
+      Some(
+        s"WITH t AS (SELECT doc_id, source, list_distinct(list_transform(" +
+          s"range(1, greatest(length(substr($cleanSql,1,32))-2,1)+1), " +
+          s"i -> substr(substr($cleanSql,1,32),i,3))) sh FROM documents) " +
+          "SELECT a.doc_id a_id, b.doc_id b_id, " +
+          "round(len(list_intersect(a.sh,b.sh))::DOUBLE / " +
+          "(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))::DOUBLE, 6) jaccard " +
+          "FROM t a JOIN t b ON a.source=b.source AND a.doc_id<b.doc_id"
+      )
+    ),
+
+    // --- ANN: sign-LSH bucketed cosine top-k over embeddings — the scale
+    //     path next to brute-force emb_cosine_topk. Embeddings are
+    //     quantized to integers (round(x*1000)) and hashed against 8
+    //     integer hyperplanes, so the bucket keys are exact integer math
+    //     and identical across engines; candidates meet queries only
+    //     inside their bucket (an equi-join, not a cross join). ---
+    "emb_ann_lsh" -> Q(
+      (s, d) => {
+        val qexpr = transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long"))
+        val sig = Queries.annPlanes.zipWithIndex.map { case (p, b) =>
+          val dot = aggregate(
+            zip_with(col("q"), array(p.map(lit): _*), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v)
+          when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), qexpr.as("q"),
+            transform(col("embedding"), _.cast("double")).as("emb"))
+          .withColumn("bucket", sig)
+        val probes = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+            col("bucket"))
+        val scored = probes.join(e, Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(T.cosine(col("q_emb"), col("emb")), 6).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      },
+      Some {
+        val sigSql = Queries.annPlanes.zipWithIndex.map { case (p, b) =>
+          val planeLit = p.mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1,65), " +
+            s"i -> q[i] * ($planeLit)[i])) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        "WITH e0 AS (SELECT vec_id, " +
+          "list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) q, " +
+          "list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings), " +
+          s"e AS (SELECT vec_id, emb, $sigSql bucket FROM e0), " +
+          "p AS (SELECT vec_id q_id, emb q_emb, bucket FROM e WHERE vec_id % 100 = 0), " +
+          "scored AS (SELECT q_id, e.vec_id n_id, " +
+          "round(list_cosine_similarity(q_emb, e.emb), 6) cos " +
+          "FROM p JOIN e USING (bucket) WHERE e.vec_id <> p.q_id) " +
+          "SELECT * FROM (SELECT q_id, n_id, cos, row_number() OVER " +
+          "(PARTITION BY q_id ORDER BY cos DESC, n_id) rn FROM scored) WHERE rn <= 3"
       }
     ),
 

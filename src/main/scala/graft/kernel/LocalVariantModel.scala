@@ -19,8 +19,19 @@ final case class VocabEntry(
     /** participates in the anagram index (reference: VocabType::INDEXED) */
     indexed: Boolean = true,
     /** participates in the language model (reference: VocabType::LM) */
-    lm: Boolean = false
+    lm: Boolean = false,
+    /** bitmask of source lexicons (reference: vocab.rs lexindex,
+      * lib.rs:941 `lexindex |= 1 << params.index`)
+      */
+    lexindex: Long = 0L,
+    /** reverse edges: this entry is the canonical reference for these
+      * variants (reference: VariantReference::ReferenceFor) — feeds the
+      * weighted-variant sink and learn-mode output
+      */
+    referenceFor: Vector[(Long, Double)] = Vector.empty
 ) {
+  /** is this entry provided by lexicon `i` (reference: vocab.rs in_lexicon) */
+  def inLexicon(i: Int): Boolean = (lexindex & (1L << i)) != 0L
   /** number of space-separated tokens (reference: vocab.rs tokencount) */
   def tokenCount: Int = text.count(_ == ' ') + 1
 }
@@ -54,6 +65,23 @@ final class LocalVariantModel(
 
   private val confusablesList =
     scala.collection.mutable.ArrayBuffer.empty[Confusable]
+
+  /** Names of loaded lexicons / variant lists, in load order; positions are
+    * the `lexindex` bit positions (reference: lib.rs lexicons).
+    */
+  val lexicons = mutable.ArrayBuffer.empty[String]
+
+  /** Register a lexicon source name; returns its bit index. */
+  def addLexiconName(name: String): Int = {
+    lexicons += name
+    lexicons.length - 1
+  }
+
+  /** Tag name registry for context rules (reference: lib.rs tags). */
+  val tags = mutable.ArrayBuffer.empty[String]
+
+  private val contextRulesList = mutable.ArrayBuffer.empty[ContextRule]
+  def contextRules: Seq[ContextRule] = contextRulesList.toSeq
 
   /** Register a confusable pattern (reference: lib.rs add_to_confusables). */
   def addConfusable(script: String, weight: Double): this.type = {
@@ -105,7 +133,8 @@ final class LocalVariantModel(
       frequency: Option[Long] = None,
       transparent: Boolean = false,
       indexed: Boolean = true,
-      lm: Boolean = false
+      lm: Boolean = false,
+      lexIndex: Int = 0
   ): Long = {
     if (frequency.isDefined) haveFreq = true
     val freq = frequency.getOrElse(1L)
@@ -123,13 +152,15 @@ final class LocalVariantModel(
           frequency = merged,
           transparent = e.transparent && transparent,
           indexed = e.indexed || indexed,
-          lm = e.lm || lm
+          lm = e.lm || lm,
+          lexindex = e.lexindex | (1L << lexIndex)
         )
         e.id
       case None =>
         val id = entries.length.toLong
         entries += VocabEntry(id, text, alphabet.normalize(text), freq,
-          transparent, Nil, indexed = indexed, lm = lm)
+          transparent, Nil, indexed = indexed, lm = lm,
+          lexindex = 1L << lexIndex)
         encoder(text) = entries.length - 1
         id
     }
@@ -163,12 +194,179 @@ final class LocalVariantModel(
   def addVariantEdge(variantText: String, targetText: String, score: Double,
       transparentVariant: Boolean = true): Unit = {
     val targetId = add(targetText)
-    val vIdx = encoder.getOrElse(variantText, {
-      add(variantText, None, transparent = transparentVariant)
-      encoder(variantText)
-    })
-    val e = entries(vIdx)
-    entries(vIdx) = e.copy(variantOf = (targetId, score) :: e.variantOf)
+    val variantId = encoder.get(variantText).map(entries(_).id).getOrElse(
+      add(variantText, None, transparent = transparentVariant))
+    addVariantById(targetId, variantId, score)
+  }
+
+  /** Link an existing reference and variant both ways (reference:
+    * src/lib.rs:478-514 add_variant_by_id). Returns false for self-links.
+    * Dedup semantics are the reference's exactly: the ReferenceFor
+    * direction skips when an edge to the same variant exists; the
+    * VariantOf direction skips only when an edge targets the variant
+    * itself (the reference compares against `variantid`, lib.rs:502-506 —
+    * replicated bit-for-bit, duplicate edges to the same ref and all).
+    */
+  def addVariantById(refId: Long, variantId: Long, score: Double): Boolean = {
+    if (variantId == refId) return false
+    val r = entries(refId.toInt)
+    if (!r.referenceFor.exists(_._1 == variantId))
+      entries(refId.toInt) =
+        r.copy(referenceFor = r.referenceFor :+ ((variantId, score)))
+    val v = entries(variantId.toInt)
+    if (!v.variantOf.exists(_._1 == variantId))
+      entries(variantId.toInt) = v.copy(variantOf = v.variantOf :+ ((refId, score)))
+    true
+  }
+
+  /** S3: read a weighted variant / error list (reference: read_variants
+    * src/lib.rs:772-897). Line format `ref TAB (variant TAB score)+` or,
+    * with auto-detected frequency columns, `ref TAB freq TAB (variant TAB
+    * score TAB freq)+`. `transparent=true` marks variants as intermediate
+    * only (error lists). Returns the number of variant links added.
+    */
+  def readVariantsLines(
+      lines: IterableOnce[String],
+      transparent: Boolean = false,
+      sourceName: String = "variants"
+  ): Int = {
+    val lexIndex = addLexiconName(sourceName)
+    var count = 0
+    var hasFreq: Option[Boolean] = None
+    for (line <- lines.iterator if line.nonEmpty) {
+      val fields = line.split('\t')
+      val reference = fields(0)
+      // frequency autodetect on the first data line (lib.rs:815-844):
+      // column count must fit `ref freq (variant score freq)*` AND the
+      // second column must parse as an integer
+      val freq: Option[Long] = hasFreq match {
+        case None =>
+          if ((fields.length - 2) % 3 == 0 && fields.length >= 2)
+            fields(1).toLongOption match {
+              case Some(f) => hasFreq = Some(true); Some(f)
+              case None    => hasFreq = Some(false); None
+            }
+          else { hasFreq = Some(false); None }
+        case Some(true)  => Some(fields(1).toLong)
+        case Some(false) => None
+      }
+      val refId = add(reference, freq, lexIndex = lexIndex)
+      if (hasFreq.contains(true)) {
+        var i = 2
+        while (i + 3 <= fields.length) {
+          val variant = fields(i)
+          val score = fields(i + 1).toDouble
+          val vfreq = fields(i + 2).toLong
+          // reference adds the variant with its own frequency through the
+          // same vocabulary path (add_variant -> add_to_vocabulary)
+          val variantId = add(variant, Some(vfreq), transparent = transparent,
+            lexIndex = lexIndex)
+          if (addVariantById(refId, variantId, score)) count += 1
+          i += 3
+        }
+      } else {
+        var i = 1
+        while (i + 2 <= fields.length) {
+          val variant = fields(i)
+          val score = fields(i + 1).toDouble
+          val variantId = add(variant, None, transparent = transparent,
+            lexIndex = lexIndex)
+          if (addVariantById(refId, variantId, score)) count += 1
+          i += 2
+        }
+      }
+    }
+    count
+  }
+
+  /** S5: add one context rule (reference: add_contextrule
+    * src/lib.rs:658-764). `pattern` is `;`-separated expressions,
+    * `tagNames` names (interned into [[tags]]), `tagOffsets` strings
+    * `begin:length` with both parts optional.
+    */
+  def addContextRule(
+      pattern: String,
+      score: Float,
+      tagNames: Seq[String] = Nil,
+      tagOffsets: Seq[String] = Nil
+  ): Either[String, Unit] = {
+    val parsed = pattern.split(';').toVector.map(e =>
+      PatternMatch.parse(e, lexicons.toSeq, encode))
+    parsed.collectFirst { case Left(err) => err } match {
+      case Some(err) => Left(err)
+      case None =>
+        val pms = parsed.map(_.toOption.get)
+        val tagIds = tagNames.toVector.map { t =>
+          val existing = tags.indexOf(t)
+          if (existing >= 0) existing
+          else { tags += t; tags.length - 1 }
+        }
+        var offsets = tagOffsets.toVector.map { s =>
+          val fs = s.split(':')
+          val begin = fs.headOption.filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+          val len = fs.lift(1).filter(_.nonEmpty).map(_.toInt)
+            .getOrElse(pms.length - begin)
+          (begin, len)
+        }
+        while (offsets.length < tagIds.length)
+          offsets = offsets :+ ((0, pms.length))
+        if (pms.nonEmpty)
+          contextRulesList += ContextRule(pms, score, tagIds, offsets)
+        Right(())
+    }
+  }
+
+  /** S5: read context rules from TSV lines (reference: read_contextrules
+    * src/lib.rs:570-656). Columns: pattern, score[, tags[, tagoffsets]];
+    * `#` comments and blank lines skipped; a single tag defaults its
+    * offset to `0:`.
+    */
+  def readContextRulesLines(lines: IterableOnce[String]): Either[String, Int] = {
+    var n = 0
+    for (line <- lines.iterator
+         if line.nonEmpty && !line.startsWith("#")) {
+      val fields = line.split('\t')
+      if (fields.length < 2)
+        return Left(s"expected at least two columns: $line")
+      val pattern = fields(0)
+      if (pattern.nonEmpty) {
+        val score = fields(1).toFloat
+        val tagNames = fields.lift(2).toSeq
+          .flatMap(_.split(';').map(_.trim).filter(_.nonEmpty))
+        var tagOffsets = fields.lift(3).toSeq
+          .flatMap(_.split(';').map(_.trim).filter(_.nonEmpty))
+        if (tagNames.length == 1 && tagOffsets.isEmpty) tagOffsets = Seq("0:")
+        else if (tagNames.length != tagOffsets.length)
+          return Left(s"tag/tagoffset count mismatch: $line")
+        addContextRule(pattern, score, tagNames, tagOffsets) match {
+          case Left(err) => return Left(err)
+          case Right(()) => n += 1
+        }
+      }
+    }
+    Right(n)
+  }
+
+  /** Q5: score a decoded sequence against the context rules (reference:
+    * test_context_rules src/lib.rs:2501-2576). Input = (vocabId, lexindex)
+    * per output symbol (vocabId 0 = OOV). Returns (context score = mean of
+    * per-position rule scores with 1.0 for uncovered positions, per-position
+    * match results). First matching rule wins per position; scan order is
+    * begin-position outer, rule order inner.
+    */
+  def testContextRules(
+      sequence: IndexedSeq[(Long, Long)]
+  ): (Double, Vector[Vector[PatternMatchResult]]) = {
+    val results = Array.fill(sequence.length)(Vector.empty[PatternMatchResult])
+    var found = false
+    for (begin <- sequence.indices; rule <- contextRulesList)
+      if (rule.matches(sequence, begin, results)) found = true
+    if (!found) (1.0, results.toVector)
+    else {
+      val sum = results.iterator
+        .map(x => if (x.nonEmpty) x.head.score else 1.0f).sum
+      (sum.toDouble / sequence.length.toDouble, results.toVector)
+    }
   }
 
   /** Build the anagram index + charcount-partitioned secondary index
@@ -394,9 +592,8 @@ final class LocalVariantModel(
     val out = Vector.newBuilder[VariantResult]
     for (r <- results) {
       val e = entries(r.vocabId.toInt)
-      // edges were prepended on insert; reference stores them in file
-      // order, so restore insertion order here
-      for ((targetId, edgeScore) <- e.variantOf.reverse) {
+      // edges are stored in insertion (file) order like the reference
+      for ((targetId, edgeScore) <- e.variantOf) {
         val target = entries(targetId.toInt)
         out += VariantResult(
           targetId,
@@ -430,6 +627,65 @@ final class LocalVariantModel(
   def text(id: Long): String = entries(id.toInt).text
 
   def entry(id: Long): VocabEntry = entries(id.toInt)
+
+  /** L1 learn mode (reference: learn_variants src/lib.rs:1062-1139): match
+    * every input (strict = find_variants per line; otherwise search mode's
+    * selected solutions), then fold each (input -> matched reference) into
+    * the model as a TRANSPARENT variant with a frequency bump on the first
+    * occurrence of a consecutive run, and rebuild. Returns the number of
+    * variant links recorded (the caller's convergence signal — the driver
+    * loop stops at 0, reference bin/analiticcl.rs:501-549).
+    */
+  def learnVariants(
+      inputs: Seq[String],
+      params: SearchParameters,
+      strict: Boolean = true,
+      autoBuild: Boolean = true
+  ): Int = {
+    val allVariants: Seq[(String, VariantResult)] = inputs.flatMap { line =>
+      if (strict) findVariants(line, params).map(r => (line, r))
+      else
+        SearchEngine.findAllMatches(this, line, params).flatMap { m =>
+          for {
+            sel <- m.selected
+            vs <- m.variants
+            r <- vs.lift(sel)
+          } yield (m.text, r)
+        }
+    }
+    var count = 0
+    var prev: Option[String] = None
+    for ((inputStr, result) <- allVariants) {
+      val vocabId = encoder.get(inputStr) match {
+        case Some(i) =>
+          val e = entries(i)
+          // first occurrence of a consecutive run bumps the frequency
+          if (!prev.contains(inputStr))
+            entries(i) = e.copy(frequency = e.frequency + 1)
+          e.id
+        case None =>
+          add(inputStr, Some(1), transparent = true)
+      }
+      if (result.vocabId != vocabId &&
+        addVariantById(result.vocabId, vocabId, result.distScore)) count += 1
+      prev = Some(inputStr)
+    }
+    if (autoBuild) build()
+    count
+  }
+
+  /** K3: weighted-variant-list sink (reference:
+    * output_weighted_variants_as_tsv bin/analiticcl.rs:226-288): one line
+    * per reference entry that has learned/loaded variants, `ref (TAB
+    * variant TAB score)+`, entries in vocabulary order.
+    */
+  def weightedVariantsTsv: Iterator[String] =
+    entries.iterator.filter(_.referenceFor.nonEmpty).map { e =>
+      val parts = e.referenceFor.map { case (vid, score) =>
+        s"${entries(vid.toInt).text}\t$score"
+      }
+      (e.text +: parts).mkString("\t")
+    }
 }
 
 object LocalVariantModel {

@@ -27,7 +27,11 @@ object SearchEngine {
       offset: Offset,
       n: Int,
       variants: Option[Vector[VariantResult]] = None,
-      selected: Option[Int] = None
+      selected: Option[Int] = None,
+      /** context-rule tag ids applied to this match (reference: Match.tag) */
+      tags: Vector[Int] = Vector.empty,
+      /** per-tag sequence number within its tag span (reference: Match.seqnr) */
+      seqnrs: Vector[Int] = Vector.empty
   ) {
     def isEmpty: Boolean = variants.forall(_.isEmpty)
   }
@@ -170,10 +174,10 @@ object SearchEngine {
       .take(k)
   }
 
-  /** Port of most_likely_sequence (reference: lib.rs:2088-2495), minus
-    * context rules (applied when the model has none — context scoring
-    * hooks are a later round). Returns the matches of the best sequence
-    * with `selected` set.
+  /** Port of most_likely_sequence (reference: lib.rs:2088-2495), including
+    * context-rule scoring and tagging (reference: lib.rs:2345-2367 +
+    * writeback lib.rs:2474-2494). Returns the matches of the best sequence
+    * with `selected` (and any tags) set.
     */
   def mostLikelySequence(
       model: LocalVariantModel,
@@ -184,7 +188,8 @@ object SearchEngine {
       params: SearchParameters,
       maxSeq: Int = 250,
       lmWeight: Float = 1.0f,
-      variantModelWeight: Float = 3.0f
+      variantModelWeight: Float = 3.0f,
+      contextRulesWeight: Float = 1.0f
   ): Vector[TextMatch] = {
     val finals = boundaries.zipWithIndex.collect {
       case (b, i) if b.offset.begin == endOffset || b.offset.end == endOffset => i
@@ -224,10 +229,17 @@ object SearchEngine {
 
     val paths = kBestPaths(boundaries.length, finals, arcs.result(), maxSeq)
 
-    // score sequences: LM + variant cost (+context: none yet)
-    final case class Seq0(path: Path, variantCost: Float, perplexity: Double)
+    // score sequences: LM + variant cost + context rules
+    final case class Seq0(
+        path: Path,
+        variantCost: Float,
+        perplexity: Double,
+        contextScore: Double,
+        tags: Vector[Vector[(Int, Int)]] // per symbol: (tag, seqnr)
+    )
     var bestPerplexity = 999999.0
     var bestVariantCost = (boundaries.length - 1).toFloat * 2.0f
+    var bestContextScore = 0.0 // to be maximised (reference: lib.rs:2321)
     val seqs = paths.map { p =>
       val symbols = p.arcs.reverse.filter(_.matchIndex >= 0)
       val perplexity = if (model.haveLm && lmWeight > 0.0f) {
@@ -249,9 +261,23 @@ object SearchEngine {
         tokens += Some(LocalVariantModel.EOS)
         model.lmScoreTokens(tokens.result())._2
       } else 0.0
+      // Q5: context rules over the output-symbol sequence
+      // (reference: lib.rs:2345-2367, test_context_rules lib.rs:2501-2576)
+      val (contextScore, symbolTags) =
+        if (model.contextRules.nonEmpty) {
+          val seq = symbols.map { arc =>
+            if (arc.vocabId == 0L) (0L, 0L)
+            else (arc.vocabId, model.entry(arc.vocabId).lexindex)
+          }.toIndexedSeq
+          val (cs, results) = model.testContextRules(seq)
+          (cs, results.map(_.collect {
+            case pm if pm.tag.isDefined => (pm.tag.get, pm.seqnr)
+          }))
+        } else (1.0, Vector.empty[Vector[(Int, Int)]])
       if (perplexity < bestPerplexity) bestPerplexity = perplexity
       if (p.cost < bestVariantCost) bestVariantCost = p.cost
-      Seq0(p, p.cost, perplexity)
+      if (contextScore > bestContextScore) bestContextScore = contextScore
+      Seq0(p, p.cost, perplexity, contextScore, symbolTags)
     }
 
     var bestScore = -99999999.0
@@ -260,19 +286,56 @@ object SearchEngine {
       val normLm = if (model.haveLm && lmWeight > 0.0f)
         math.log(bestPerplexity / s.perplexity) else 0.0
       val normVariant = math.log(bestVariantCost.toDouble / s.variantCost.toDouble)
+      val normContext = math.log(s.contextScore / bestContextScore)
+      // blended geometric-mean score (reference: lib.rs:2396-2411); the
+      // shortcut applies only when both LM and context rules are inactive
       val score =
-        if (!model.haveLm || lmWeight == 0.0f) normVariant
-        else (lmWeight * normLm + variantModelWeight * normVariant) /
-          (lmWeight + variantModelWeight).toDouble
+        if ((!model.haveLm || lmWeight == 0.0f) &&
+          (model.contextRules.isEmpty || contextRulesWeight == 0.0f))
+          normVariant
+        else
+          (lmWeight * normLm + variantModelWeight * normVariant +
+            contextRulesWeight * normContext) /
+            (lmWeight + variantModelWeight + contextRulesWeight).toDouble
       if (score > bestScore || best.isEmpty) {
         bestScore = score
         best = Some(s)
       }
     }
 
-    best.get.path.arcs.reverse.filter(_.matchIndex >= 0).map { arc =>
-      matches(arc.matchIndex).copy(selected = arc.variantIndex)
+    val winner = best.get
+    winner.path.arcs.reverse.filter(_.matchIndex >= 0).zipWithIndex.map {
+      case (arc, i) =>
+        val tagged = winner.tags.lift(i).getOrElse(Vector.empty)
+        matches(arc.matchIndex).copy(
+          selected = arc.variantIndex,
+          tags = tagged.map(_._1),
+          seqnrs = tagged.map(_._2))
     }.toVector
+  }
+
+  /** P12: remap UTF-16 char offsets to unicode codepoint offsets
+    * (reference: remap_offsets_to_unicodepoints search.rs:527-546 — there
+    * UTF-8 byte offsets; our native offsets are Java char offsets, the
+    * remap target is identical).
+    */
+  def remapOffsetsToUnicodePoints(
+      text: String,
+      matches: Vector[TextMatch]
+  ): Vector[TextMatch] = {
+    val map = new Array[Int](text.length + 1)
+    var cp = 0
+    var i = 0
+    while (i < text.length) {
+      map(i) = cp
+      val n = Character.charCount(text.codePointAt(i))
+      if (n == 2 && i + 1 < text.length) map(i + 1) = cp
+      cp += 1
+      i += n
+    }
+    map(text.length) = cp
+    matches.map(m =>
+      m.copy(offset = Offset(map(m.offset.begin), map(m.offset.end))))
   }
 
   /** Port of find_all_matches (reference: lib.rs:1790-1957). */
@@ -282,7 +345,9 @@ object SearchEngine {
       params: SearchParameters,
       maxSeq: Int = 250,
       lmWeight: Float = 1.0f,
-      variantModelWeight: Float = 3.0f
+      variantModelWeight: Float = 3.0f,
+      contextRulesWeight: Float = 1.0f,
+      unicodeOffsets: Boolean = false
   ): Vector[TextMatch] = {
     if (text.isEmpty) return Vector.empty
     val boundaries = findBoundaries(text)
@@ -305,17 +370,18 @@ object SearchEngine {
           }
           batchMatches ++= withVariants
         }
-        if (params.maxNgram > 1 || model.haveLm)
+        if (params.maxNgram > 1 || model.haveLm || model.contextRules.nonEmpty)
           out ++= mostLikelySequence(model, batchMatches, batchBoundaries,
             begin, boundary.offset.begin, params, maxSeq, lmWeight,
-            variantModelWeight)
+            variantModelWeight, contextRulesWeight)
         else
           out ++= batchMatches.map(_.copy(selected = Some(0)))
         begin = boundary.offset.end
         beginIndex = i + 1
       }
     }
-    out.result()
+    val result = out.result()
+    if (unicodeOffsets) remapOffsetsToUnicodePoints(text, result) else result
   }
 
   /** Text of the selected solution, falling back to the input span
