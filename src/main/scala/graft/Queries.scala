@@ -259,6 +259,44 @@ object Queries {
       )
     ),
 
+    // --- Dedup: substring containment pairs (the suffix-array pass's
+    //     behavior contract: A is a dup-by-containment of B when A's
+    //     cleaned text is a strict substring of B's; min probe length 8
+    //     keeps trivia out). The scalable min-shingle-anchor version runs
+    //     inside DedupPipeline; this query pins the semantics. ---
+    "dedup_substring" -> Q(
+      (s, d) => {
+        // A is a containment dup of B when A's 24-char clean prefix occurs
+        // anywhere in B's clean text. Scalable plan: if the prefix occurs
+        // in B, its leading 12-gram is one of B's 12-grams, so an
+        // equi-join on that anchor meets every pair — hosts explode their
+        // 12-grams (fanout = text length, bounded), probes carry one
+        // anchor each; `instr` then verifies the full prefix. No cross
+        // join anywhere; the oracle states the naive quadratic semantics.
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), T.cleanText(col("text")).as("k"))
+        val probes = t.filter(length(col("k")) >= 24)
+          .select(col("doc_id").as("a_id"),
+            substring(col("k"), 1, 24).as("p"),
+            substring(col("k"), 1, 12).as("g"))
+        val hosts = t.select(col("doc_id").as("b_id"), col("k"),
+            explode(transform(
+              sequence(lit(1), greatest(length(col("k")) - 11, lit(1))),
+              i => col("k").substr(i, lit(12)))).as("g"))
+          .dropDuplicates("b_id", "g")
+        probes.join(hosts, Seq("g"))
+          .filter(col("a_id") =!= col("b_id") && instr(col("k"), col("p")) >= 1)
+          .select(col("a_id"), col("b_id"))
+          .distinct()
+      },
+      Some(
+        s"WITH t AS (SELECT doc_id, $cleanSql k FROM documents) " +
+          "SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM t a JOIN t b " +
+          "ON a.doc_id<>b.doc_id AND length(a.k)>=24 " +
+          "AND position(substr(a.k,1,24) IN b.k)>0"
+      )
+    ),
+
     // --- ANN: sign-LSH bucketed cosine top-k over embeddings — the scale
     //     path next to brute-force emb_cosine_topk. Embeddings are
     //     quantized to integers (round(x*1000)) and hashed against 8

@@ -114,4 +114,22 @@ object FastHash {
     }
     f(c)
   }
+
+  /** Column: minimum shingle hash — the containment-pass anchor key (if
+    * A ⊆ B, A's min shingle hash is one of B's shingle hashes).
+    */
+  def minShingleHash(c: Column, n: Int): Column = {
+    val f = udf { (s: String) => Option(s).map(x => shingleHashes(x, n).min) }
+    f(c)
+  }
+
+  /** Column: distinct shingle hashes (array<long>) — the containment-pass
+    * host index; fanout bounded by the string length.
+    */
+  def shingleHashSet(c: Column, n: Int): Column = {
+    val f = udf { (s: String) =>
+      Option(s).map(x => shingleHashes(x, n).distinct)
+    }
+    f(c)
+  }
 }

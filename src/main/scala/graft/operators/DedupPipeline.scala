@@ -39,7 +39,16 @@ final case class DedupConfig(
     simhashBands: Int = 4,
     scoreThreshold: Double = 0.7,
     maxEditDistance: Int = 3,
-    weights: Weights = Weights()
+    weights: Weights = Weights(),
+    /** substring-containment pass: docs whose normalized text is a strict
+      * substring of another's are dups even when the length gap defeats
+      * both LSH (low Jaccard) and the DL verify (distance > max). 0 = off
+      * (containment dups are a different dup class than the reference's
+      * variant matching, so the parity pipeline keeps this disabled);
+      * at >0 only probes with at least this many normalized chars join
+      * (ultra-short strings are substrings of everything).
+      */
+    substringMinLen: Int = 0
 ) {
   require(bands * rowsPerBand <= minhashK,
     "bands * rowsPerBand must not exceed minhashK")
@@ -180,6 +189,37 @@ object DedupPipeline {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
 
+    // ---- 4c. substring-containment pass (the suffix-array role done
+    //      Spark-native): if norm(A) ⊆ norm(B) then every shingle of A is
+    //      a shingle of B, so anchoring A on its MINIMUM shingle hash and
+    //      exploding B by ALL its distinct shingle hashes meets every
+    //      containment pair on an equi-join key — no suffix array, no
+    //      cross join; host fanout is bounded by the normalized length
+    //      (short transcripts). Verification is exact (`instr`), so these
+    //      become edges directly, bypassing the DL kernel which would
+    //      reject large length gaps. ----
+    val substringEdges: Option[DataFrame] = if (cfg.substringMinLen > 0) Some {
+      val probes = base
+        .filter(length(col("norm")) >= cfg.substringMinLen)
+        .select(col("id").as("a"), col("norm").as("anorm"),
+          length(col("norm")).as("alen"),
+          FastHash.minShingleHash(col("norm"), cfg.shingleN).as("akey"))
+      val whost = Window.partitionBy("akey")
+      val hosts = base
+        .select(col("id").as("b"), col("norm").as("bnorm"),
+          length(col("norm")).as("blen"),
+          explode(FastHash.shingleHashSet(col("norm"), cfg.shingleN)).as("akey"))
+        .withColumn("bucket_n", count(lit(1)).over(whost))
+        .filter(col("bucket_n") <= cfg.bucketCap)
+        .drop("bucket_n")
+      probes.join(hosts, Seq("akey"))
+        .filter(col("alen") < col("blen") &&
+          instr(col("bnorm"), col("anorm")) >= 1)
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+        .distinct()
+    } else None
+
     val candidates0 = lshPairs.union(simPairs).union(anaPairs).distinct()
     val candidates = if (collectMetrics) candidates0.localCheckpoint(true) else candidates0
     val nCandidatePairs = metric(candidates.count())
@@ -200,7 +240,9 @@ object DedupPipeline {
       .select(col("a").as("src"), col("b").as("dst"))
 
     // always checkpoint edges: CC iterates over them
-    val allEdges = verifiedEdges.union(exactEdges).localCheckpoint(true)
+    val allEdges = substringEdges
+      .foldLeft(verifiedEdges.union(exactEdges))(_ union _)
+      .localCheckpoint(true)
     val nVerifiedEdges = metric(allEdges.count())
 
     // ---- 6. clustering ----

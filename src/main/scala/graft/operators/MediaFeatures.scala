@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.audio.Wav
+
+/** Multimodal feature extraction over opaque `binary` media columns with
+  * typed metadata (builder contract: decode / feature-extract / resize /
+  * frame-sample as batched per-partition transforms — in Scala Spark the
+  * `mapInPandas` role is played by typed `Dataset.mapPartitions`, which
+  * gives the same batch shape: one iterator per partition, vectorizable
+  * per-row work, no per-row JVM<->interpreter crossings to pay for).
+  *
+  * The audio path is REAL (RIFF/WAV s16le codec in graft.audio.Wav). The
+  * image/video decode steps are STUBS — this container has no image/video
+  * codecs — implemented as deterministic byte-derived fakes so the
+  * Spark-side plumbing (schema, partitioning, batch shape, null handling)
+  * is real and testable; swap `stubDecodeImage`/`stubDecodeVideoFrames`
+  * for a codec call in production.
+  */
+object MediaFeatures {
+
+  // ---------------------------------------------------------------- audio
+
+  /** Per-clip audio features: energy stats + fixed-count frame samples.
+    * Schema out: (clip_id, sr_hz, n_samples, energy_db, peak, n_frames,
+    * frame_rms: array<double>, frame_zcr: array<double>).
+    */
+  final case class AudioFeatures(
+      clip_id: String,
+      sr_hz: Int,
+      n_samples: Int,
+      energy_db: Double,
+      peak: Int,
+      n_frames: Int,
+      frame_rms: Array[Double],
+      frame_zcr: Array[Double]
+  )
+
+  /** Decode + frame-sample + feature-extract audio clips. `frameMs` is
+    * the analysis frame length; `maxFrames` caps the per-row output size
+    * (uniform sampling across the clip), bounding row width no matter the
+    * clip duration — the property that keeps this shuffle-safe at scale.
+    */
+  def audioFeatures(
+      clips: DataFrame,
+      frameMs: Int = 20,
+      maxFrames: Int = 64
+  ): Dataset[AudioFeatures] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("clip_id").cast("string"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null) None
+          else {
+            val (samples, sr) = Wav.decode(bytes)
+            val frameLen = math.max(1, sr * frameMs / 1000)
+            val total = math.max(1, samples.length / frameLen)
+            val take = math.min(total, maxFrames)
+            val rms = new Array[Double](take)
+            val zcr = new Array[Double](take)
+            var f = 0
+            while (f < take) {
+              // uniform frame sampling: frame f of `take` maps to
+              // position f*total/take of the full frame sequence
+              val begin = (f.toLong * total / take).toInt * frameLen
+              val end = math.min(begin + frameLen, samples.length)
+              var acc = 0.0
+              var crossings = 0
+              var i = begin
+              while (i < end) {
+                val v = samples(i).toDouble
+                acc += v * v
+                if (i > begin && (samples(i) >= 0) != (samples(i - 1) >= 0))
+                  crossings += 1
+                i += 1
+              }
+              val n = math.max(1, end - begin)
+              rms(f) = math.sqrt(acc / n)
+              zcr(f) = crossings.toDouble / n
+              f += 1
+            }
+            var energy = 0.0
+            var peak = 0
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i).toInt
+              energy += v.toDouble * v.toDouble
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            val energyDb =
+              if (energy == 0.0) -200.0
+              else 10.0 * math.log10(energy / math.max(1, samples.length))
+            Some(AudioFeatures(id, sr, samples.length, energyDb, peak,
+              take, rms, zcr))
+          }
+        }
+      }
+  }
+
+  // --------------------------------------------------------- image (STUB)
+
+  final case class ImageFeatures(
+      image_id: String,
+      width: Int,
+      height: Int,
+      // STUB outputs: deterministic byte-derived pseudo-statistics
+      mean_luma: Double,
+      edge_density: Double,
+      phash64: Long
+  )
+
+  /** STUB image decode: derives deterministic pseudo-pixel statistics
+    * from the raw bytes (splitmix64 over 64-byte strides) instead of a
+    * real codec. The dataflow — binary column in, fixed-width typed
+    * feature row out, batched per partition — is the production shape.
+    */
+  private def stubDecodeImage(bytes: Array[Byte]): (Double, Double, Long) = {
+    var h = 0x9E3779B97F4A7C15L
+    var luma = 0.0
+    var edges = 0.0
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      h = graft.functions.FastHash.mix64(h ^ bytes(i))
+      luma += (h & 0xFF).toDouble
+      edges += ((h >>> 8) & 1).toDouble
+      n += 1
+      i += math.max(1, bytes.length / 64) // <= 64 strided samples
+    }
+    val m = math.max(1, n)
+    (luma / m / 255.0, edges / m, h)
+  }
+
+  /** Image feature extraction over (image_id, bytes, width, height).
+    * Decode is stubbed (see [[stubDecodeImage]]); plumbing is real.
+    */
+  def imageFeatures(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("image_id").cast("string"), col("bytes"),
+        col("width").cast("int"), col("height").cast("int"))
+      .as[(String, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes, w, hgt) =>
+          Option(bytes).map { b =>
+            val (luma, edges, ph) = stubDecodeImage(b)
+            ImageFeatures(id, w, hgt, luma, edges, ph)
+          }
+        }
+      }
+  }
+
+  // --------------------------------------------------------- video (STUB)
+
+  final case class VideoFrame(
+      video_id: String,
+      frame_index: Int,
+      ts_ms: Long,
+      frame_phash: Long
+  )
+
+  /** STUB video frame sampling: emits `maxFrames` uniformly-spaced frame
+    * rows per video with deterministic byte-derived frame hashes. The
+    * explode shape (one input row -> bounded many output rows) and the
+    * timestamp math are the production plumbing; the decode is fake.
+    */
+  def videoFrameSample(
+      videos: DataFrame,
+      maxFrames: Int = 16
+  ): Dataset[VideoFrame] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("video_id").cast("string"), col("bytes"),
+        col("dur_ms").cast("long"))
+      .as[(String, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes, durMs) =>
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else {
+            val n = math.min(maxFrames.toLong, math.max(1L, durMs / 40)).toInt
+            (0 until n).iterator.map { f =>
+              val ts = durMs * f / n
+              // STUB decode: hash of the byte stride standing in for the
+              // decoded frame's perceptual hash
+              val stride = math.max(1, bytes.length / n)
+              var h = 0xC2B2AE3D27D4EB4FL ^ ts
+              var i = f * stride
+              val end = math.min(bytes.length, i + stride)
+              while (i < end) {
+                h = graft.functions.FastHash.mix64(h ^ bytes(i)); i += 1
+              }
+              VideoFrame(id, f, ts, h)
+            }
+          }
+        }
+      }
+  }
+}

@@ -78,6 +78,27 @@ class DedupPipelineSpec extends SparkSpecBase {
     assert(precision >= 0.85, s"precision $precision < 0.85")
   }
 
+  test("substring pass links containment dups the DL verify rejects") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "quick brown fox jumps over"), // strict substring of 1
+      (3L, "an entirely different transcript about ships and harbors"),
+      (4L, "short one") // above no probe (too short w/ minLen 12)
+    ).toDF("id", "text")
+    // off (default): the big length gap defeats the DL kernel -> no link
+    val (offAssign, _) = DedupPipeline.run(spark, docs, "id", "text",
+      DedupConfig(), collectMetrics = false)
+    val off = offAssign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(off(2L) != off(1L))
+    // on: min-shingle anchor meets the pair, instr verifies containment
+    val (onAssign, _) = DedupPipeline.run(spark, docs, "id", "text",
+      DedupConfig(substringMinLen = 12), collectMetrics = false)
+    val on = onAssign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(on(2L) == on(1L))
+    assert(on(3L) != on(1L))
+    assert(on(4L) != on(1L))
+  }
+
   test("agrees with the reference-semantics matcher's cluster assignment") {
     // reference path: match every doc against the canonical lexicon with
     // the LocalVariantModel (pinned to the reference's unit tests);
