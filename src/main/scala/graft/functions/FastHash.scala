@@ -115,6 +115,48 @@ object FastHash {
     f(c)
   }
 
+  /** LSH band keys from a MinHash signature, numerically (band index
+    * mixed with the band's rows — no string building): one Long per band.
+    */
+  def bandKeys(sig: Array[Long], bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = mix64(b.toLong * 0x9e3779b97f4a7c15L)
+      var r = 0
+      while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** Hash of the sorted character bag of `s` — the anagram-equality
+    * candidate key (two strings collide iff same multiset of chars).
+    */
+  def anagramKey(s: String): Long = {
+    val cs = s.toCharArray
+    java.util.Arrays.sort(cs)
+    mix64(polyHash(new String(cs), 0, cs.length))
+  }
+
+  /** Column: the pipeline's full per-row sketch in ONE text pass:
+    * struct<sig, sim, bands, anakey>. Computing the 42 band keys
+    * numerically here instead of as per-band Catalyst string expressions
+    * removes ~42 string concat+hash ops per row from the explode stage.
+    */
+  def sketchFull(c: Column, n: Int, k: Int, bands: Int,
+      rowsPerBand: Int): Column = {
+    val f = udf { (s: String) =>
+      Option(s).map { x =>
+        val hs = shingleHashes(x, n)
+        val sig = minhash(hs, k)
+        (sig, simhash(hs), bandKeys(sig, bands, rowsPerBand), anagramKey(x))
+      }
+    }
+    f(c)
+  }
+
   /** Column: minimum shingle hash — the containment-pass anchor key (if
     * A ⊆ B, A's min shingle hash is one of B's shingle hashes).
     */

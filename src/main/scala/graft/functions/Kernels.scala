@@ -117,6 +117,78 @@ final class Kernels(alphabet: Alphabet) extends Serializable {
     }
     f(a, b)
   }
+
+  /** First-char case class for the precomputed-kernel path:
+    * 0 = lowercase, 1 = not lowercase, 2 = empty text (reference case
+    * semantics: empty side => sameCase true, lib.rs:1367-1377).
+    */
+  val caseClass: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) 2.toByte
+      else if (Character.isLowerCase(s.codePointAt(0))) 0.toByte
+      else 1.toByte
+    }
+    (c: Column) => f(c)
+  }
+
+  /** [[pairScoreMax]] over PRECOMPUTED normKey strings + case classes:
+    * zero normalization work and zero per-call allocation in the pair
+    * loop (banded DL with thread-local scratch — see Distances.dlChars).
+    * This is the dedup verify kernel's production form: norm/case are
+    * computed once per row upstream, reused across every candidate pair
+    * the row appears in.
+    */
+  def pairScoreMaxPre(normA: Column, normB: Column, caseA: Column,
+      caseB: Column, maxEditDistance: Int,
+      weights: Weights = Weights()): Column = {
+    val w = weights
+    val f = udf { (na: String, nb: String, la: Byte, lb: Byte) =>
+      if (na == null || nb == null || na.isEmpty || nb.isEmpty) None
+      else {
+        val ld = Distances.dlChars(na, nb, maxEditDistance)
+        if (ld < 0) None
+        else {
+          val d = Distance(
+            ld = ld,
+            lcs = if (w.lcs > 0.0) Distances.lcsChars(na, nb) else 0,
+            prefixLen = if (w.prefix > 0.0) Distances.prefixChars(na, nb) else 0,
+            suffixLen = if (w.suffix > 0.0) Distances.suffixChars(na, nb) else 0,
+            sameCase =
+              if (w.caseW > 0.0 && la != 2.toByte && lb != 2.toByte) la == lb
+              else true)
+          Some(math.max(
+            Scoring.score(d, na.length, w),
+            Scoring.score(d, nb.length, w)))
+        }
+      }
+    }
+    f(normA, normB, caseA, caseB)
+  }
+
+  /** Symmetric verification kernel: the max of pairScore(a,b) and
+    * pairScore(b,a), with the distance features (DL, LCS, prefix, suffix,
+    * case — all symmetric) computed ONCE; only the length normalization
+    * differs per direction. Halves the verify-stage cost vs calling
+    * [[pairScore]] twice. A dup pair must be accepted regardless of which
+    * member plays the query role, hence max.
+    */
+  def pairScoreMax(a: Column, b: Column, maxEditDistance: Int,
+      weights: Weights = Weights()): Column = {
+    val f = udf { (x: String, y: String) =>
+      if (x == null || y == null || x.isEmpty || y.isEmpty) None
+      else {
+        val nx = alphabet.normalize(x)
+        val ny = alphabet.normalize(y)
+        if (nx.length == 0 || ny.length == 0) None
+        else
+          Scoring.distanceFeatures(nx, x, ny, y, maxEditDistance, weights)
+            .map(d => math.max(
+              Scoring.score(d, nx.length, weights),
+              Scoring.score(d, ny.length, weights)))
+      }
+    }
+    f(a, b)
+  }
 }
 
 object Kernels {

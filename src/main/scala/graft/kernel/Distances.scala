@@ -132,4 +132,132 @@ object Distances {
     while (i < n && s1(s1.length - i - 1) == s2(s2.length - i - 1)) i += 1
     i
   }
+
+  // -------------------------------------------------------------------
+  // Zero-allocation char-based kernels for the dedup verify hot path.
+  // They operate on the compact normKey string (one char per alphabet
+  // class, see Kernels.normKey — a bijection, so distances are identical
+  // to the Array[Int] versions above, which remain the parity anchors;
+  // DistancesPropSpec pins equality). Scratch buffers are thread-local:
+  // tens of millions of calls per stage otherwise allocate 100+ GB of
+  // matrix+HashMap garbage, and the resulting GC pressure was measured
+  // to cap 8->32-core scaling at ~1.7x.
+  // -------------------------------------------------------------------
+
+  private final class Scratch {
+    var mat: Array[Int] = new Array[Int](0)
+    var cache: Array[Int] = new Array[Int](0)
+    // last-occurrence table indexed by char (normKey chars are 33..254,
+    // well under 64k); gen-stamped so it never needs clearing
+    val last: Array[Int] = new Array[Int](65536)
+    val lastGen: Array[Int] = new Array[Int](65536)
+    var gen: Int = 0
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Damerau-Levenshtein over normKey strings — identical results to
+    * [[damerauLevenshtein]], computed with a band limited to
+    * |i-j| <= maxDistance (cells outside can never lie on a path of cost
+    * <= maxDistance: every cell value >= |i-j|, and any transposition
+    * reference cell of such a path is itself within the band) and with
+    * reusable thread-local buffers. Returns -1 if > maxDistance.
+    */
+  def dlChars(s: CharSequence, t: CharSequence, maxDistance: Int): Int = {
+    val lenS = s.length
+    val lenT = t.length
+    if (lenS == 0) return if (lenT > maxDistance) -1 else lenT
+    if (lenS > lenT && lenS - lenT > maxDistance) return -1
+    if (lenT == 0) return if (lenS > maxDistance) -1 else lenS
+    if (lenT > lenS && lenT - lenS > maxDistance) return -1
+
+    val sc = scratch.get()
+    val inf = lenS + lenT
+    val w = lenT + 2
+    val need = (lenS + 2) * w
+    if (sc.mat.length < need) sc.mat = new Array[Int](need)
+    val mat = sc.mat
+    // the banded fill leaves stale cells outside the band; initialize the
+    // full frame + band edges to inf so reads of just-outside-band cells
+    // are correct
+    java.util.Arrays.fill(mat, 0, need, inf)
+    mat(w + 1) = 0
+    var i = 1
+    while (i <= lenS) { mat((i + 1) * w + 1) = i; i += 1 }
+    i = 1
+    while (i <= lenT) { mat(w + i + 1) = i; i += 1 }
+
+    sc.gen += 1
+    val gen = sc.gen
+    val band = maxDistance
+    i = 0
+    while (i < lenS) {
+      val sChar = s.charAt(i)
+      var db = 0
+      val ii = i + 1
+      // band: only j with |i - j| <= band can be <= maxDistance
+      var j = math.max(0, i - band)
+      val jEnd = math.min(lenT, i + band + 1)
+      while (j < jEnd) {
+        val jj = j + 1
+        val tChar = t.charAt(j)
+        val last = if (sc.lastGen(tChar) == gen) sc.last(tChar) else 0
+        val cost = if (sChar == tChar) 0 else 1
+        val del = mat((ii + 1) * w + jj) + 1
+        val ins = mat(ii * w + jj + 1) + 1
+        val sub = mat(ii * w + jj) + cost
+        val trans = mat(last * w + db) + (ii - last - 1) + 1 + (jj - db - 1)
+        var m = del
+        if (ins < m) m = ins
+        if (sub < m) m = sub
+        if (trans < m) m = trans
+        mat((ii + 1) * w + jj + 1) = m
+        if (cost == 0) db = jj
+        j += 1
+      }
+      // cells outside the band are never written and read as inf thanks
+      // to the full frame fill above
+      sc.last(sChar) = ii
+      sc.lastGen(sChar) = gen
+      i += 1
+    }
+    val result = mat((lenS + 1) * w + lenT + 1)
+    if (result > maxDistance) -1 else result
+  }
+
+  /** LCS over char sequences (same algorithm as the Array[Int] form). */
+  def lcsChars(s1: CharSequence, s2: CharSequence): Int = {
+    var lcs = 0
+    var i = 0
+    while (i < s1.length) {
+      var j = 0
+      while (j < s2.length) {
+        if (s1.charAt(i) == s2.charAt(j)) {
+          var k = 1
+          while (i + k < s1.length && j + k < s2.length &&
+            s1.charAt(i + k) == s2.charAt(j + k)) k += 1
+          if (k > lcs) lcs = k
+        }
+        j += 1
+      }
+      i += 1
+    }
+    lcs
+  }
+
+  def prefixChars(s1: CharSequence, s2: CharSequence): Int = {
+    val n = math.min(s1.length, s2.length)
+    var i = 0
+    while (i < n && s1.charAt(i) == s2.charAt(i)) i += 1
+    i
+  }
+
+  def suffixChars(s1: CharSequence, s2: CharSequence): Int = {
+    val n = math.min(s1.length, s2.length)
+    var i = 0
+    while (i < n && s1.charAt(s1.length - i - 1) == s2.charAt(s2.length - i - 1))
+      i += 1
+    i
+  }
 }

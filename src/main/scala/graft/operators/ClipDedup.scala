@@ -69,49 +69,63 @@ object ClipDedup {
       clips.select(col("clip_id"), col("transcript"))
         .withColumn("id", xxhash64(col("clip_id")))
         .withColumn("norm", K.normKey(col("transcript")))
-        .withColumn("sk", FastHash.sketch(col("norm"), cfg.shingleN, cfg.minhashK))
-        .select(col("clip_id"), col("id"), col("transcript"), col("norm"),
-          col("sk._1").as("sig"), col("sk._2").as("sim"))
+        .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
+          cfg.minhashK, cfg.bands, cfg.rowsPerBand))
+        .select(col("clip_id"), col("id"), col("norm"),
+          K.caseClass(col("transcript")).as("lc"),
+          length(col("norm")).as("len"),
+          col("sk._2").as("sim"), col("sk._3").as("bands"),
+          col("sk._4").as("anakey"))
     }
 
     // ---- stage 2: candidate pairs (LSH + simhash + anagram + exact) ----
     val candidates = r.stage("candidates") {
-      def pairsFrom(keyed: DataFrame): DataFrame = keyed
-        .groupBy("k").agg(sort_array(collect_list("id")).as("ids"))
-        .filter(size(col("ids")).between(2, cfg.bucketCap))
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .filter(col("a") < col("b"))
+      // hot keys via a codegen'd count agg, broadcast back as a map-side
+      // filter; collect_list touches only non-singleton (2..cap) buckets;
+      // pairs length-prefiltered (|lenA-lenB| <= maxEditDistance is
+      // necessary for the DL verify to pass) — see DedupPipeline.pairsFrom
+      def pairsFrom(keyed: DataFrame): DataFrame = {
+        val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, cfg.bucketCap))
+          .select(col("k"))
+        keyed.join(broadcast(hot), Seq("k"))
+          .groupBy("k")
+          .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
+          .select(explode(col("ms")).as("a"), col("ms"))
+          .select(col("a"), explode(col("ms")).as("b"))
+          .filter(col("a.id") < col("b.id") &&
+            abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
+          .select(col("a.id").as("a"), col("b.id").as("b"))
+      }
 
-      val lsh = pairsFrom(sketches.select(col("id"),
-        explode(array((0 until cfg.bands).map { b =>
-          xxhash64(lit(b), concat_ws("_", transform(
-            slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand),
-            _.cast("string"))))
-        }: _*)).as("k")))
+      val lsh = pairsFrom(sketches.select(col("id"), col("len"),
+        explode(col("bands")).as("k")))
 
       val chunkBits = 64 / cfg.simhashBands
-      val sim = pairsFrom(sketches.select(col("id"),
+      val sim = pairsFrom(sketches.select(col("id"), col("len"),
         explode(array((0 until cfg.simhashBands).map { b =>
           xxhash64(lit(b), shiftright(col("sim"), b * chunkBits)
             .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
         }: _*)).as("k")))
 
-      val ana = pairsFrom(sketches.select(col("id"),
-        xxhash64(array_join(array_sort(split(col("norm"), "")), "")).as("k")))
+      val ana = pairsFrom(sketches.select(col("id"), col("len"),
+        col("anakey").as("k")))
 
       lsh.union(sim).union(ana).distinct()
     }
 
     // ---- stage 3: verified edges (kernel score on candidates + exact) ----
     val edges = r.stage("edges") {
-      val texts = sketches.select(col("id"), col("transcript"), col("norm"))
+      val texts = sketches.select(col("id"), col("norm"), col("lc"))
+        .hint("SHUFFLE_HASH")
       val verified = candidates
-        .join(texts.select(col("id").as("a"), col("transcript").as("ta")), Seq("a"))
-        .join(texts.select(col("id").as("b"), col("transcript").as("tb")), Seq("b"))
-        .withColumn("score", greatest(
-          K.pairScore(col("ta"), col("tb"), cfg.maxEditDistance, cfg.weights),
-          K.pairScore(col("tb"), col("ta"), cfg.maxEditDistance, cfg.weights)))
+        .join(texts.select(col("id").as("a"), col("norm").as("na"),
+          col("lc").as("lca")), Seq("a"))
+        .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+          col("lc").as("lcb")), Seq("b"))
+        .withColumn("score",
+          K.pairScoreMaxPre(col("na"), col("nb"), col("lca"), col("lcb"),
+            cfg.maxEditDistance, cfg.weights))
         .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
         .select(col("a").as("src"), col("b").as("dst"))
       val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")

@@ -62,9 +62,22 @@ object ConnectedComponents {
     }
     var prevChecksum = checksum(e)
 
+    // right-size the loop's shuffle parallelism to the edge count: each
+    // round is ~6 shuffles, and on small-to-medium edge sets the wall
+    // clock is pure task-scheduling overhead — 32-way shuffles of a few
+    // MB make the loop SLOWER on more cores. ~200k edges per reduce
+    // partition keeps tasks meaningful; huge edge sets keep the session
+    // setting unchanged.
+    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val target = math.max(2L,
+      math.min(prevShufflePartitions.toLong, prevChecksum._1 / 200000L + 2L))
+    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+
+    val timing = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
     var iteration = 0
     var converged = false
-    while (!converged && iteration < maxIterations) {
+    try while (!converged && iteration < maxIterations) {
+      val tRound = System.nanoTime()
       // -------- large-star --------
       // neighborhood view in both directions
       val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
@@ -91,7 +104,11 @@ object ConnectedComponents {
       e.unpersist()
       e = next
       iteration += 1
-    }
+      if (timing) System.err.println(
+        f"[cc-round] $iteration edges=${nextChecksum._1} " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
+    } finally spark.conf.set("spark.sql.shuffle.partitions",
+      prevShufflePartitions)
 
     // components: every node points at its root (min of its final star);
     // roots point at themselves

@@ -40,6 +40,14 @@ final case class DedupConfig(
     scoreThreshold: Double = 0.7,
     maxEditDistance: Int = 3,
     weights: Weights = Weights(),
+    /** verify-stage text fetch: broadcast the distinct-norm reps table to
+      * the candidate pairs instead of shuffle-hash joining it. Only for
+      * SMALL reps tables (<~200k): the broadcast build is single-threaded
+      * driver work — at 1.5M reps it was measured to serialize the whole
+      * stage (8 and 32 cores identical wall time). Default off: the
+      * shuffle-hash join is parallel at every scale and sort-free.
+      */
+    broadcastTexts: Boolean = false,
     /** substring-containment pass: docs whose normalized text is a strict
       * substring of another's are dups even when the length gap defeats
       * both LSH (low Jaccard) and the DL verify (distance > max). 0 = off
@@ -115,79 +123,110 @@ object DedupPipeline {
     // benchmark runs skip them — the checkpointed runner (ClipDedup)
     // accounts rows per stage from the written tables instead
     def metric(f: => Long): Long = if (collectMetrics) f else -1L
+    // phase wall-times to stderr when SPARK_GRAFT_STAGE_TIMING is set —
+    // the strong-scaling diagnosis tool (which phase is the serial floor?)
+    val timing = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[dedup-phase] $phase ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
-    // ---- 1. sketch (one pass) ----
-    val base = df.select(col(idCol).cast("long").as("id"),
+    // ---- 1a. normalize (one narrow pass over all rows) ----
+    val rows = df.select(col(idCol).cast("long").as("id"),
       col(textCol).cast("string").as("text"))
       .withColumn("norm", K.normKey(col("text")))
-      .withColumn("sk", FastHash.sketch(col("norm"), cfg.shingleN, cfg.minhashK))
-      .select(col("id"), col("text"), col("norm"),
-        col("sk._1").as("sig"), col("sk._2").as("sim"))
-      .localCheckpoint(true) // sketches reused by three candidate paths
-
-    val nRows = metric(base.count())
+      .withColumn("nh", xxhash64(col("norm")))
+      .localCheckpoint(true) // read twice: exact stage + rep election
+    val nRows = metric(rows.count())
 
     // ---- 2. exact duplicates (hash group; no verification needed).
     //      Window-min star edges, not collect_list: a pathological
     //      million-copy text must not materialize a million-element array
     //      in one row. ----
     import org.apache.spark.sql.expressions.Window
-    val wh = Window.partitionBy("h")
-    val exactEdges = base
-      .select(col("id"), xxhash64(col("norm")).as("h"))
+    val wh = Window.partitionBy("nh")
+    val exactEdges = rows
+      .select(col("id"), col("nh"))
       .withColumn("root", min("id").over(wh))
       .filter(col("id") =!= col("root"))
       .select(col("root").as("src"), col("id").as("dst"))
     val nExactGroups = metric(exactEdges.select("src").distinct().count())
 
+    // ---- 1b. sketch DISTINCT norms only. Web-scale corpora are dominated
+    //      by exact duplicates; collapsing them before candidate
+    //      generation (representative = min id = the exact-group root, so
+    //      the edge sets compose) keeps every LSH bucket bounded by the
+    //      number of DISTINCT texts sharing a band — identical texts can
+    //      never pile into one bucket — and runs the sketch UDF once per
+    //      distinct text instead of once per row. ----
+    val base = rows
+      .groupBy("nh")
+      .agg(min(struct(col("id"), col("text"), col("norm"))).as("r"))
+      .select(col("r.id").as("id"), col("r.text").as("text"),
+        col("r.norm").as("norm"))
+      .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
+        cfg.minhashK, cfg.bands, cfg.rowsPerBand))
+      .select(col("id"), col("norm"), K.caseClass(col("text")).as("lc"),
+        length(col("norm")).as("len"),
+        col("sk._2").as("sim"), col("sk._3").as("bands"),
+        col("sk._4").as("anakey"))
+      .localCheckpoint(true) // sketches reused by three candidate paths
+    mark("sketch")
+
+    // shared bucket -> pair expansion. Three scale facts shape this:
+    //  1. almost every bucket key is a SINGLETON (one row), so the first
+    //     pass is a pure `count` aggregation — whole-stage-codegen'd,
+    //     map-side partial — never a collect_list over the full volume
+    //     (ObjectHashAggregate falls back to SORT-based aggregation at
+    //     128 distinct keys per partition, i.e. collect_list over 60M
+    //     keys degenerates to a full sort of the band rows);
+    //  2. the surviving hot-key set (2..cap rows) is small — broadcast
+    //     it and filter the band rows MAP-SIDE, so the only full-volume
+    //     shuffle is the count agg;
+    //  3. pairs are LENGTH-PREFILTERED (a DL <= maxEditDistance verify
+    //     needs |lenA-lenB| <= maxEditDistance — measured 170x
+    //     over-generation without it) before the cross-path distinct, so
+    //     the kernel scores each surviving pair exactly once no matter
+    //     how many bands it collided in.
+    def pairsFrom(keyed: DataFrame): DataFrame = {
+      val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, cfg.bucketCap))
+        .select(col("k"))
+      keyed.join(broadcast(hot), Seq("k"))
+        .groupBy("k")
+        .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
+        .select(explode(col("ms")).as("a"), col("ms"))
+        .select(col("a"), explode(col("ms")).as("b"))
+        .filter(col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
+        .select(col("a.id").as("a"), col("b.id").as("b"))
+    }
+
     // ---- 3. MinHash-LSH candidates (groupBy band key, capped) ----
-    val bandRows = base.select(col("id"),
-      explode(array((0 until cfg.bands).map { b =>
-        xxhash64(lit(b), concat_ws("_", transform(
-          slice(col("sig"), b * cfg.rowsPerBand + 1, cfg.rowsPerBand),
-          _.cast("string"))))
-      }: _*)).as("bkey"))
-    val buckets0 = bandRows.groupBy("bkey")
-      .agg(sort_array(collect_list("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // only materialize when the dropped-bucket metric will re-read it
-    val buckets = if (collectMetrics) buckets0.localCheckpoint(true) else buckets0
-    val nDroppedBuckets = metric(buckets.filter(size(col("ids")) > cfg.bucketCap).count())
-    val lshPairs = buckets
-      .filter(size(col("ids")) <= cfg.bucketCap)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
+    val bandRows = base.select(col("id"), col("len"),
+      explode(col("bands")).as("k"))
+    val nDroppedBuckets = metric(bandRows.groupBy("k")
+      .agg(count(lit(1)).as("n")).filter(col("n") > cfg.bucketCap).count())
+    val lshPairs = pairsFrom(bandRows)
 
     // ---- 4. SimHash near-exact candidates (band the 64 bits into
     //      simhashBands chunks; Hamming<=simhashBands-1 pairs share >=1
     //      exact chunk — the standard pigeonhole banding) ----
     val chunkBits = 64 / cfg.simhashBands
-    val simRows = base.select(col("id"),
+    val simPairs = pairsFrom(base.select(col("id"), col("len"),
       explode(array((0 until cfg.simhashBands).map { b =>
         concat_ws(":", lit(b),
           shiftright(col("sim"), b * chunkBits)
             .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
-      }: _*)).as("skey"))
-    val simPairs = simRows.groupBy("skey")
-      .agg(sort_array(collect_list("id")).as("ids"))
-      .filter(size(col("ids")).between(2, cfg.bucketCap))
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
+      }: _*)).as("k")))
 
     // ---- 4b. anagram-equality candidates: same character bag (the
     //      reference's exact-anagram probe, lib.rs:1158-1174) — catches
     //      pure transpositions/reorderings that shingle LSH can miss ----
-    val anaPairs = base
-      .select(col("id"),
-        xxhash64(array_join(array_sort(split(col("norm"), "")), "")).as("akey"))
-      .groupBy("akey")
-      .agg(sort_array(collect_list("id")).as("ids"))
-      .filter(size(col("ids")).between(2, cfg.bucketCap))
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
+    val anaPairs = pairsFrom(base.select(col("id"), col("len"),
+      col("anakey").as("k")))
 
     // ---- 4c. substring-containment pass (the suffix-array role done
     //      Spark-native): if norm(A) ⊆ norm(B) then every shingle of A is
@@ -220,22 +259,28 @@ object DedupPipeline {
         .distinct()
     } else None
 
-    val candidates0 = lshPairs.union(simPairs).union(anaPairs).distinct()
-    val candidates = if (collectMetrics) candidates0.localCheckpoint(true) else candidates0
+    val candidates = lshPairs.union(simPairs).union(anaPairs).distinct()
     val nCandidatePairs = metric(candidates.count())
 
-    // ---- 5. verification: analiticcl kernel score on candidate pairs ----
-    // symmetric verification: the analiticcl score normalizes by the
-    // query side's length, so score both directions and keep the max —
-    // a dup pair must be accepted regardless of which member is canonical
-    val texts = base.select(col("id"), col("text"))
-    val scored = candidates
-      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "ta"), Seq("a"))
-      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "tb"), Seq("b"))
-      .withColumn("score", greatest(
-        K.pairScore(col("ta"), col("tb"), cfg.maxEditDistance, cfg.weights),
-        K.pairScore(col("tb"), col("ta"), cfg.maxEditDistance, cfg.weights)))
-    val verifiedEdges = scored
+    // ---- 5. verification: analiticcl kernel, each distinct pair scored
+    //      once on PRECOMPUTED norms (features once per pair, both
+    //      direction normalizations, max — pairScoreMaxPre). Norms arrive
+    //      by SHUFFLE-HASH join (hinted): no sort of the candidate
+    //      stream (sort-merge measured 2-3x slower) and no single-threaded
+    //      driver broadcast build (at 1.5M reps a broadcast serialized the
+    //      whole stage). ----
+    val texts0 = base.select(col("id"), col("norm"), col("lc"))
+    val texts =
+      if (cfg.broadcastTexts) broadcast(texts0)
+      else texts0.hint("SHUFFLE_HASH")
+    val verifiedEdges = candidates
+      .join(texts.select(col("id").as("a"), col("norm").as("na"),
+        col("lc").as("lca")), Seq("a"))
+      .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+        col("lc").as("lcb")), Seq("b"))
+      .withColumn("score",
+        K.pairScoreMaxPre(col("na"), col("nb"), col("lca"), col("lcb"),
+          cfg.maxEditDistance, cfg.weights))
       .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
       .select(col("a").as("src"), col("b").as("dst"))
 
@@ -243,11 +288,13 @@ object DedupPipeline {
     val allEdges = substringEdges
       .foldLeft(verifiedEdges.union(exactEdges))(_ union _)
       .localCheckpoint(true)
+    mark("candidates+verify")
     val nVerifiedEdges = metric(allEdges.count())
 
     // ---- 6. clustering ----
     val cc = ConnectedComponents.run(spark, allEdges)
-    val assignments = base.select(col("id"))
+    mark("cc")
+    val assignments = rows.select(col("id"))
       .join(cc.withColumnRenamed("node", "id"), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("cluster"))

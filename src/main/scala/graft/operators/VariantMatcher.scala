@@ -52,30 +52,51 @@ object VariantMatcher {
     m.build()
   }
 
-  /** Strategy 1: broadcast index + mapPartitions kernel. */
+  /** Strategy 1 handle: the model is broadcast ONCE at construction;
+    * every subsequent query batch reuses it — the steady-state shape (at
+    * production scale one broadcast serves billions of queries).
+    */
+  final class BroadcastMatcher(
+      bc: org.apache.spark.broadcast.Broadcast[LocalVariantModel]
+  ) extends Serializable {
+    def apply(
+        queries: DataFrame,
+        params: SearchParameters,
+        queryCol: String = "query"
+    ): Dataset[VariantMatch] = {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      queries
+        .select(col(queryCol).cast("string"))
+        .as[String]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.flatMap { q =>
+            m.findVariants(q, params).iterator.zipWithIndex.map {
+              case (r, i) =>
+                VariantMatch(q, i + 1, m.text(r.vocabId),
+                  r.score(params.freqWeight), r.distScore, r.freqScore)
+            }
+          }
+        }
+    }
+  }
+
+  def broadcastMatcher(
+      spark: SparkSession,
+      model: LocalVariantModel
+  ): BroadcastMatcher =
+    new BroadcastMatcher(spark.sparkContext.broadcast(model))
+
+  /** Strategy 1: broadcast index + mapPartitions kernel (one-shot form). */
   def matchBroadcast(
       spark: SparkSession,
       model: LocalVariantModel,
       queries: DataFrame, // one string column
       params: SearchParameters,
       queryCol: String = "query"
-  ): Dataset[VariantMatch] = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    queries
-      .select(col(queryCol).cast("string"))
-      .as[String]
-      .mapPartitions { it =>
-        val m = bc.value
-        it.flatMap { q =>
-          m.findVariants(q, params).iterator.zipWithIndex.map {
-            case (r, i) =>
-              VariantMatch(q, i + 1, m.text(r.vocabId), r.score(params.freqWeight),
-                r.distScore, r.freqScore)
-          }
-        }
-      }
-  }
+  ): Dataset[VariantMatch] =
+    broadcastMatcher(spark, model)(queries, params, queryCol)
 
   /** Strategy 2: declarative join plan. Same logical result as
     * [[matchBroadcast]]; used when the lexicon cannot be broadcast.

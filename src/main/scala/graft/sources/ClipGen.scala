@@ -130,4 +130,22 @@ object ClipGen {
       else spark.sparkContext.defaultParallelism
     spark.sparkContext.parallelize(specs, parts).map(synthesize).toDF()
   }
+
+  /** Clip table WITHOUT waveform synthesis (bytes = null): the transcript
+    * columns and ground truth only. The text-dedup pipeline never reads
+    * `bytes`, so benchmarks at millions of clips skip gigabytes of PCM
+    * synthesis while keeping the exact schema and dup structure.
+    */
+  def transcriptTable(spark: SparkSession, seed: Long, nClusters: Int,
+      maxDups: Int = 3, maxEdits: Int = 2,
+      numPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val specs = plan(seed, nClusters, maxDups, maxEdits)
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    spark.sparkContext.parallelize(specs, parts)
+      .map(s => Clip(s.clipId, null, s.srHz, s.durMs, "pcm_s16le",
+        s.transcript, s.clusterId, s.dupIndex == 0))
+      .toDF()
+  }
 }

@@ -10,11 +10,34 @@ import scala.util.Random
   */
 object SyntheticText {
 
-  val defaultWords: Vector[String] = Vector(
-    "separate", "operate", "desperate", "right", "think", "house", "huis",
-    "table", "window", "stream", "filter", "query", "batch", "vector",
-    "merge", "sort", "hash", "value", "column", "spark", "cluster", "data",
-    "small", "large", "fast", "slow", "scan", "group", "order", "joint")
+  /** Word inventory: 30 natural words plus deterministic pseudo-words to
+    * a 1000-word vocabulary. A realistic vocabulary size matters for the
+    * BENCHMARK semantics: with only 30 words, a 3-word phrase space has
+    * 27k members, so at >10^5 clusters nearly every phrase collides with
+    * near-misses of itself and candidate volume grows quadratically —
+    * unlike any real transcript corpus. 1000 words gives a 10^9 3-gram
+    * space: density (and thus LSH bucket fill) stays realistic as the
+    * cluster count scales.
+    */
+  val defaultWords: Vector[String] = {
+    val base = Vector(
+      "separate", "operate", "desperate", "right", "think", "house", "huis",
+      "table", "window", "stream", "filter", "query", "batch", "vector",
+      "merge", "sort", "hash", "value", "column", "spark", "cluster", "data",
+      "small", "large", "fast", "slow", "scan", "group", "order", "joint")
+    val syllables = Vector(
+      "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+      "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+      "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+      "ra", "re", "ri", "ro", "ru", "sa", "se", "si", "so", "su",
+      "ta", "te", "ti", "to", "tu", "va", "ve", "vi", "vo", "vu")
+    val rng = new Random(0x5EED)
+    val pseudo = Iterator.continually(
+      Seq.fill(2 + rng.nextInt(3))(syllables(rng.nextInt(syllables.length)))
+        .mkString)
+      .distinct.filterNot(base.contains).take(970).toVector
+    base ++ pseudo
+  }
 
   /** A canonical phrase: `nWords` words drawn (seeded) from the inventory. */
   def phrase(rng: Random, nWords: Int, words: Vector[String] = defaultWords): String =

@@ -12,7 +12,8 @@ import graft.kernel._
   *
   * Usage: runMain graft.tools.QueryCli <lexicon.tsv>
   *          [--json] [--variants <weighted.tsv>] [--errors <errors.tsv>]
-  *          [--rules <contextrules.tsv>] [query...]
+  *          [--rules <contextrules.tsv>] [--confusables <sesdiff.tsv>]
+  *          [query...]
   *        (no queries -> read one query per line from stdin)
   * The lexicon TSV: text [<TAB> absolute frequency]. `--variants` loads a
   * weighted variant list (S3); `--errors` loads one transparently.
@@ -53,6 +54,17 @@ object QueryCli {
       case "--rules" :: f :: t =>
         loadLines(f)(ls => model.readContextRulesLines(ls.to(Iterable)).left.foreach { e =>
           System.err.println(s"context rules: $e"); sys.exit(2)
+        })
+        rest = t
+      case "--confusables" :: f :: t =>
+        // S4 reader (reference: read_confusablelist lib.rs:414-441):
+        // sesdiff edit script TAB weight per line, # comments skipped
+        loadLines(f)(_.foreach { line =>
+          if (line.nonEmpty && !line.startsWith("#")) {
+            val cols = line.split('\t')
+            model.addConfusable(cols(0),
+              cols.lift(1).map(_.toDouble).getOrElse(1.0))
+          }
         })
         rest = t
       case _ => more = false

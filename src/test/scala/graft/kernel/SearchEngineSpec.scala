@@ -89,6 +89,28 @@ class SearchEngineSpec extends AnyFunSuite {
     assert(corrected.contains("are right") || corrected.contains("right"))
   }
 
+  test("0706 unicodeoffsets: codepoint offsets through find_all_matches") {
+    // reference tests/main.rs:1432-1455 — Cyrillic и/т are UNK alphabet
+    // classes but the words still match within edit distance; offsets are
+    // remapped to codepoints (here BMP, so 2..7 like the reference)
+    val m = new LocalVariantModel(Alphabet.test)
+    Seq("I", "think", "you", "are", "right").foreach(m.add(_))
+    m.build()
+    val matches = SearchEngine.findAllMatches(m, "I thиnk you are righт",
+      testParams.copy(maxNgram = 1), unicodeOffsets = true)
+    assert(matches.map(_.text) ==
+      Vector("I", "thиnk", "you", "are", "righт"))
+    assert(matches(1).offset == Offset(2, 7))
+    assert(matchToStr(m, matches(1)) == "think")
+    assert(matchToStr(m, matches(4)) == "right")
+    // supplementary-plane codepoint before the word shifts begin by 1
+    // codepoint (2 UTF-16 chars): the remap collapses it
+    val m2 = SearchEngine.findAllMatches(m, "𝕏 think",
+      testParams.copy(maxNgram = 1), unicodeOffsets = true)
+    assert(m2.last.text == "think")
+    assert(m2.last.offset == Offset(2, 7))
+  }
+
   test("OOV words survive as themselves") {
     val m = baseModel(withFreq = false)
     m.build()
