@@ -204,29 +204,28 @@ object DedupPipeline {
         .select(col("a.id").as("a"), col("b.id").as("b"))
     }
 
-    // ---- 3. MinHash-LSH candidates (groupBy band key, capped) ----
-    val bandRows = base.select(col("id"), col("len"),
-      explode(col("bands")).as("k"))
-    val nDroppedBuckets = metric(bandRows.groupBy("k")
-      .agg(count(lit(1)).as("n")).filter(col("n") > cfg.bucketCap).count())
-    val lshPairs = pairsFrom(bandRows)
-
-    // ---- 4. SimHash near-exact candidates (band the 64 bits into
-    //      simhashBands chunks; Hamming<=simhashBands-1 pairs share >=1
-    //      exact chunk — the standard pigeonhole banding) ----
+    // ---- 3+4+4b. ONE keyed union drives all three candidate paths —
+    //      MinHash-LSH bands, SimHash pigeonhole chunks (Hamming <=
+    //      simhashBands-1 pairs share >= 1 exact chunk), and the
+    //      anagram-equality key (same character bag: the reference's
+    //      exact-anagram probe, lib.rs:1158-1174, catching pure
+    //      transpositions shingle LSH can miss). All keys are mixed
+    //      64-bit values (cross-path collisions ~ n^2/2^64 and only ever
+    //      ADD a to-be-verified candidate), so one count agg + one hot-key
+    //      broadcast + one bucket pass replace three of each — a third of
+    //      the per-stage driver latency, same pairs. ----
     val chunkBits = 64 / cfg.simhashBands
-    val simPairs = pairsFrom(base.select(col("id"), col("len"),
-      explode(array((0 until cfg.simhashBands).map { b =>
-        concat_ws(":", lit(b),
-          shiftright(col("sim"), b * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
-      }: _*)).as("k")))
-
-    // ---- 4b. anagram-equality candidates: same character bag (the
-    //      reference's exact-anagram probe, lib.rs:1158-1174) — catches
-    //      pure transpositions/reorderings that shingle LSH can miss ----
-    val anaPairs = pairsFrom(base.select(col("id"), col("len"),
-      col("anakey").as("k")))
+    val keyedAll = base.select(col("id"), col("len"),
+        explode(col("bands")).as("k"))
+      .union(base.select(col("id"), col("len"),
+        explode(array((0 until cfg.simhashBands).map { b =>
+          xxhash64(lit(b), shiftright(col("sim"), b * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)))
+        }: _*)).as("k")))
+      .union(base.select(col("id"), col("len"), col("anakey").as("k")))
+    val nDroppedBuckets = metric(keyedAll.groupBy("k")
+      .agg(count(lit(1)).as("n")).filter(col("n") > cfg.bucketCap).count())
+    val allPairs = pairsFrom(keyedAll)
 
     // ---- 4c. substring-containment pass (the suffix-array role done
     //      Spark-native): if norm(A) ⊆ norm(B) then every shingle of A is
@@ -259,7 +258,7 @@ object DedupPipeline {
         .distinct()
     } else None
 
-    val candidates = lshPairs.union(simPairs).union(anaPairs).distinct()
+    val candidates = allPairs.distinct()
     val nCandidatePairs = metric(candidates.count())
 
     // ---- 5. verification: analiticcl kernel, each distinct pair scored

@@ -49,9 +49,12 @@ object ClipGen {
     val out = Vector.newBuilder[ClipSpec]
     var i = 0L
     for (c <- 0 until nClusters) {
-      val canonical = SyntheticText.phrase(rng, 3 + rng.nextInt(3))
+      // realistic speech clips: 1-30 s, transcript length proportional to
+      // duration (~2 words/second) — transcripts of 5-63 words, like real
+      // ASR output, so per-row sketch/verify work is meaningful
+      val durMs = 1000 + rng.nextInt(29000)
+      val canonical = SyntheticText.phrase(rng, 3 + durMs / 500)
       val sr = sampleRates(rng.nextInt(sampleRates.length))
-      val durMs = 200 + rng.nextInt(1800)
       val clusterSeed = rng.nextLong()
       out += ClipSpec(f"clip$i%08d", c.toLong, clusterSeed, 0, sr, durMs, canonical)
       i += 1

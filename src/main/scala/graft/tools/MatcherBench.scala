@@ -30,11 +30,27 @@ object MatcherBench {
     }
     val params = SearchParameters()
     // warmup
-    queries.take(200).foreach(model.findVariants(_, params))
+    queries.take(2000).foreach(model.findVariants(_, params))
     t0 = System.nanoTime()
     var results = 0L
     queries.foreach(q => results += model.findVariants(q, params).length)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[query] $nQueries queries in $sec%.2fs = ${nQueries / sec}%.1f items/s (1 thread), $results results")
+
+    // optional multi-thread sweep (pure JVM, no Spark): the achievable
+    // kernel scaling ceiling on this host
+    for (threads <- args.lift(2).map(_.toInt)) {
+      val chunks = queries.grouped(math.max(1, queries.size / threads)).toVector
+      val t1 = System.nanoTime()
+      val ts = chunks.map { chunk =>
+        val t = new Thread(() => chunk.foreach(model.findVariants(_, params)))
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val psec = (System.nanoTime() - t1) / 1e9
+      println(f"[query] $nQueries queries in $psec%.2fs = " +
+        f"${nQueries / psec}%.1f items/s ($threads threads), " +
+        f"speedup ${sec / psec}%.2fx")
+    }
   }
 }
