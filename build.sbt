@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW (no "[info] " decoration):
+// the driver parses graft.Bench's single JSON stdout line, and round 1's
+// BENCH file came back "parsed": null because sbt's LoggedOutput prefixed
+// it with [info].
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

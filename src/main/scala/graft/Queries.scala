@@ -154,13 +154,15 @@ object Queries {
       )
     ),
 
-    // --- Dedup: portable MinHash signature (k=12, 3-shingles) ---
+    // --- Dedup: portable MinHash signature (k=12, 3-shingles). Computed
+    //     by the JVM md5 kernel (bit-identical to the interpreted-HOF
+    //     portable form the oracle states; see TextFns.minhashPortableJvm)
     "dedup_minhash_sig" -> Q(
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
             concat_ws("_", transform(
-              T.minhashPortable(T.charShingles(substring(T.cleanText(col("text")), 1, 64), 3), 12),
+              T.minhashPortableJvm(substring(T.cleanText(col("text")), 1, 64), 3, 12),
               _.cast("string"))).as("sig")),
       Some {
         val mins = (0 until 12).map(i =>
@@ -177,10 +179,15 @@ object Queries {
     //     portable signature; pair iff any band slice matches) ---
     "dedup_lsh_pairs" -> Q(
       (s, d) => {
-        val sig = T.minhashPortable(T.charShingles(substring(T.cleanText(col("text")), 1, 64), 3), 12)
-        val withBands = Tables.documents(s, d)
+        // signature materialized ONCE (round 1 inlined the minhash
+        // expression tree into all 4 band columns — 4x the md5 work)
+        val sigged = Tables.documents(s, d)
+          .select(col("doc_id"),
+            T.minhashPortableJvm(substring(T.cleanText(col("text")), 1, 64), 3, 12)
+              .as("sig"))
+        val withBands = sigged
           .select(col("doc_id") +: (0 until 4).map(b =>
-            concat_ws("_", transform(slice(sig, b * 3 + 1, 3), _.cast("string")))
+            concat_ws("_", transform(slice(col("sig"), b * 3 + 1, 3), _.cast("string")))
               .as(s"b$b")): _*)
         val bandCols = (0 until 4).map(b => s"b$b")
         // explode to (band, key) rows -> equi-join on the band key: the
@@ -450,8 +457,11 @@ object Queries {
           .select(explode(split(trim(col("text")), " +")).as("text"))
           .filter(length(col("text")) > 0)
           .distinct()
-        val w = Window.orderBy(col("text"))
-        val lex = toks.withColumn("id", row_number().over(w).cast("long") - 1)
+        // two-phase global rank (graft.spark.Ranks): the round-1 version
+        // minted ids with a no-partition Window.orderBy — a single-
+        // partition global sort that can't scale (and spammed WindowExec
+        // warnings into the bench stdout)
+        val lex = graft.spark.Ranks.globalSortId(toks, col("text"), "id")
         val params = SP(
           maxAnagramDistance = DT.Absolute(3), maxEditDistance = DT.Absolute(3),
           maxMatches = 0, scoreThreshold = 0.25, cutoffThreshold = 0.0,

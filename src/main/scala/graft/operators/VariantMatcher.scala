@@ -121,9 +121,6 @@ object VariantMatcher {
     import spark.implicits._
     val weights = params.weights
 
-    val haveFreq = lexicon.columns.contains("freq") &&
-      lexicon.filter(col("freq").isNotNull).limit(1).count() > 0
-
     // --- index build (A1-A3): id = insertion order = file order ---
     val normUdf = udf((s: String) => alphabet.normalize(s).map(_.toByte))
     val anaUdf = udf((s: String) => AnaHash.toBytes(alphabet.anahash(s)))
@@ -211,8 +208,11 @@ object VariantMatcher {
         scoreUdf(col("qnorm"), col("query"), col("norm"), col("text")))
       .filter(col("dist_score").isNotNull &&
         col("dist_score") >= params.scoreThreshold)
-      .withColumn("freq_raw",
-        if (haveFreq) col("freq").cast("double") else lit(1.0))
+      // freq was coalesced to 1 in the index build, so an all-null (or
+      // absent) freq column yields freq_score = 1/max(1) = 1 for every
+      // row — identical to the old driver-side "haveFreq" probe, which
+      // cost a hidden Spark job during plan construction.
+      .withColumn("freq_raw", col("freq").cast("double"))
 
     // --- R2 freq normalization per query + R3 ranking + R4/R6 crops ---
     import org.apache.spark.sql.expressions.Window
