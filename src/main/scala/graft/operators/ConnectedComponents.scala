@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+
+import graft.spark.Checkpoints
 
 /** Connected components over an undirected edge DataFrame — the
   * clustering stage of the dedup pipeline (SURVEY.md §7.2 step 8).
@@ -18,62 +19,76 @@ import org.apache.spark.storage.StorageLevel
   *  - small-star: for each node u, connect every not-larger neighbor
   *    (and u) to the minimum of those.
   *
-  * Scale notes: per-iteration `persist` + `localCheckpoint` cuts the
-  * lineage (otherwise the plan doubles each round — the classic iterative
-  * join blowup); convergence test is an aggregate on the edge delta, not
-  * a collect. At 10^12 rows the same loop runs with edges written to an
-  * Iceberg table per iteration (resume = read last snapshot); here the
-  * in-memory checkpoint stands in.
+  * Scale notes: per-iteration checkpoint cuts the lineage (otherwise the
+  * plan doubles each round — the classic iterative join blowup), and each
+  * round's blocks are RELEASED as soon as the next round materializes
+  * (see [[Checkpoints]]: unpersist() alone never frees localCheckpoint
+  * storage). Convergence test is an aggregate on the edge delta, not a
+  * collect. Per-round shuffle right-sizing is left to AQE partition
+  * coalescing (small edge deltas collapse to a handful of reduce
+  * partitions at runtime) instead of mutating the session's
+  * shuffle-partitions conf, which raced concurrent queries on a shared
+  * session. At 10^12 rows the same loop runs in reliable-checkpoint mode
+  * (`spark.graft.checkpointDir`; Iceberg snapshots in production) so an
+  * executor loss resumes instead of recomputing the round lattice.
   */
 object ConnectedComponents {
 
-  /** @param edges two long columns (src, dst); self-loops/duplicates ok.
-    * @return (node, component) with component = min node id reachable.
+  /** Edge count at or below which the single-task union-find kernel is
+    * chosen over the distributed loop (the CC analogue of Spark electing
+    * a broadcast join from size stats): a few million (node, root) longs
+    * fit one task's memory trivially, and the distributed loop's ~12
+    * shuffle stages per round are pure scheduling latency at that size —
+    * measured as a flat ~7s floor at EVERY core count, the single biggest
+    * scaling-efficiency killer in the dedup job. The verified-edge set is
+    * ~O(duplicate pairs), orders of magnitude smaller than the input
+    * table, so even multi-billion-row inputs often stay under this; past
+    * it, the loop runs with per-round checkpoints.
     */
-  def run(
+  val defaultLocalKernelMaxEdges = 2000000L
+
+  /** As [[run]], returning a [[Checkpoints.Cut]] the caller must
+    * `release()` once its consumer is materialized.
+    *
+    * @param withAllNodes when false, the result covers only nodes that
+    *        appear in an edge. Callers that left-join the assignment onto
+    *        their full row universe (like DedupPipeline) don't need the
+    *        extra edges-union-distinct + join that materializing isolated
+    *        nodes would cost — at iterative-loop scale that is two whole
+    *        shuffle stages of the input edge volume.
+    */
+  def runCut(
       spark: SparkSession,
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
-      maxIterations: Int = 50
-  ): DataFrame = {
-    import spark.implicits._
+      maxIterations: Int = 50,
+      withAllNodes: Boolean = true,
+      localKernelMaxEdges: Long = defaultLocalKernelMaxEdges
+  ): Checkpoints.Cut = {
 
-    def canon(df: DataFrame): DataFrame =
+    def orient(df: DataFrame): DataFrame =
       df.select(
         least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
 
-    // u -> current best-known root (start: min neighbor or self)
-    var e = canon(edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def canon(df: DataFrame): DataFrame = orient(df).distinct()
 
-    // convergence: edge-set checksum unchanged (memoized — one aggregate
-    // per round, not two; far cheaper than except/except at scale).
-    // bit_xor is safe: edges are distinct by construction and xor cannot
-    // overflow under ANSI.
+    // convergence: edge-set checksum unchanged between consecutive rounds
+    // (one aggregate per round — far cheaper than except/except at
+    // scale). bit_xor is safe: round outputs are distinct by
+    // construction and xor cannot overflow under ANSI.
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         expr("bit_xor(xxhash64(src, dst))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var prevChecksum = checksum(e)
 
-    // right-size the loop's shuffle parallelism to the edge count: each
-    // round is ~6 shuffles, and on small-to-medium edge sets the wall
-    // clock is pure task-scheduling overhead — 32-way shuffles of a few
-    // MB make the loop SLOWER on more cores. ~200k edges per reduce
-    // partition keeps tasks meaningful; huge edge sets keep the session
-    // setting unchanged.
-    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val target = math.max(2L,
-      math.min(prevShufflePartitions.toLong, prevChecksum._1 / 200000L + 2L))
-    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
-
-    // one large-star + small-star round (Kiveris et al. alternation)
+    // one large-star + small-star round (Kiveris et al. alternation).
+    // The intermediate union is only ever consumed by min-aggregations,
+    // so it is oriented but NOT distinct'ed — duplicate edges cannot
+    // change a min, and the extra shuffle per round was pure overhead.
     def round(cur: DataFrame): DataFrame = {
       val nbrs = cur.select(col("src").as("u"), col("dst").as("v"))
         .union(cur.select(col("dst").as("u"), col("src").as("v")))
@@ -82,7 +97,7 @@ object ConnectedComponents {
       val large = nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-      val afterLarge = canon(large.union(cur))
+      val afterLarge = orient(large.union(cur))
 
       val nbrs2 = afterLarge.select(col("dst").as("u"), col("src").as("v"))
       val mins2 = nbrs2.groupBy("u")
@@ -93,37 +108,106 @@ object ConnectedComponents {
       canon(small)
     }
 
+    // ---- physical strategy election (stats-driven, like broadcast-join
+    //      selection): small edge sets run a one-task union-find kernel ----
+    val edgeCount = edges.count()
+    if (edgeCount <= localKernelMaxEdges) {
+      import spark.implicits._
+      val pairs = edges
+        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent.getOrDefault(x, x)
+            while (p != x) { // path halving
+              val gp = parent.getOrDefault(p, p)
+              parent.put(x, gp)
+              x = gp
+              p = parent.getOrDefault(x, x)
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a)
+            val rb = find(b)
+            // min id becomes the root => component = min reachable id
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+          val out = Vector.newBuilder[(Long, Long)]
+          parent.keySet().forEach(n => out += ((n, find(n))))
+          out.result().iterator
+        }
+        .toDF("node", "component")
+      // covers every edge-touched node incl. roots (root -> itself), which
+      // satisfies both withAllNodes contracts
+      return Checkpoints.cut(pairs)
+    }
+
+    // Round 1 consumes the input edges directly (lazily oriented: callers
+    // hand a checkpointed edge table, and re-running a narrow orient per
+    // read is cheaper than a dedicated distinct+materialize init pass).
+    // Duplicate input edges are harmless to the round's min-aggregations;
+    // the first checksum lands after round 1.
     val timing = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
+    var e: Checkpoints.Cut = null
+    var prevChecksum: Option[(Long, Long)] = None
     var iteration = 0
     var converged = false
-    try while (!converged && iteration < maxIterations) {
+    while (!converged && iteration < maxIterations) {
       val tRound = System.nanoTime()
       // one materialized round per convergence check: `round` reads its
       // input several times (nbrs both directions, the large-star union),
       // so composing rounds without a checkpoint re-executes the inner
       // subtree multiple times — measured 5-10x slower than checkpointing
       // every round
-      val next = round(e).localCheckpoint(true)
-      val nextChecksum = checksum(next)
-      converged = nextChecksum == prevChecksum
-      prevChecksum = nextChecksum
-      e.unpersist()
+      val cur = if (e == null)
+        orient(edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")))
+      else e.df
+      val next = Checkpoints.cut(round(cur))
+      val nextChecksum = checksum(next.df)
+      converged = prevChecksum.contains(nextChecksum)
+      prevChecksum = Some(nextChecksum)
+      if (e != null) e.release()
       e = next
       iteration += 1
       if (timing) System.err.println(
         f"[cc-round] $iteration edges=${nextChecksum._1} " +
           f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
-    } finally spark.conf.set("spark.sql.shuffle.partitions",
-      prevShufflePartitions)
+    }
 
     // components: every node points at its root (min of its final star);
     // roots point at themselves
-    val nodes = edges.select(col(srcCol).cast("long").as("node"))
-      .union(edges.select(col(dstCol).cast("long").as("node"))).distinct()
-    val assign = e.select(col("dst").as("node"), col("src").as("component"))
+    val assign = e.df.select(col("dst").as("node"), col("src").as("component"))
       .groupBy("node").agg(min("component").as("component"))
-    nodes.join(assign, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("component"), col("node")).as("component"))
+    val result =
+      if (withAllNodes) {
+        val nodes = edges.select(col(srcCol).cast("long").as("node"))
+          .union(edges.select(col(dstCol).cast("long").as("node"))).distinct()
+        nodes.join(assign, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component"))
+      } else assign
+    val out = Checkpoints.cut(result)
+    e.release()
+    out
   }
+
+  /** @param edges two long columns (src, dst); self-loops/duplicates ok.
+    * @return (node, component) with component = min node id reachable.
+    */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIterations: Int = 50
+  ): DataFrame =
+    runCut(spark, edges, srcCol, dstCol, maxIterations).df
 }

@@ -134,11 +134,12 @@ object DedupPipeline {
     }
 
     // ---- 1a. normalize (one narrow pass over all rows) ----
-    val rows = df.select(col(idCol).cast("long").as("id"),
-      col(textCol).cast("string").as("text"))
-      .withColumn("norm", K.normKey(col("text")))
-      .withColumn("nh", xxhash64(col("norm")))
-      .localCheckpoint(true) // read twice: exact stage + rep election
+    val rowsCut = graft.spark.Checkpoints.cut(
+      df.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+        .withColumn("norm", K.normKey(col("text")))
+        .withColumn("nh", xxhash64(col("norm"))))
+    val rows = rowsCut.df // read twice: exact stage + rep election
     val nRows = metric(rows.count())
 
     // ---- 2. exact duplicates (hash group; no verification needed).
@@ -161,7 +162,7 @@ object DedupPipeline {
     //      number of DISTINCT texts sharing a band — identical texts can
     //      never pile into one bucket — and runs the sketch UDF once per
     //      distinct text instead of once per row. ----
-    val base = rows
+    val baseCut = graft.spark.Checkpoints.cut(rows
       .groupBy("nh")
       .agg(min(struct(col("id"), col("text"), col("norm"))).as("r"))
       .select(col("r.id").as("id"), col("r.text").as("text"),
@@ -171,8 +172,8 @@ object DedupPipeline {
       .select(col("id"), col("norm"), K.caseClass(col("text")).as("lc"),
         length(col("norm")).as("len"),
         col("sk._2").as("sim"), col("sk._3").as("bands"),
-        col("sk._4").as("anakey"))
-      .localCheckpoint(true) // sketches reused by three candidate paths
+        col("sk._4").as("anakey")))
+    val base = baseCut.df // sketches reused by three candidate paths
     mark("sketch")
 
     // shared bucket -> pair expansion. Three scale facts shape this:
@@ -284,19 +285,32 @@ object DedupPipeline {
       .select(col("a").as("src"), col("b").as("dst"))
 
     // always checkpoint edges: CC iterates over them
-    val allEdges = substringEdges
-      .foldLeft(verifiedEdges.union(exactEdges))(_ union _)
-      .localCheckpoint(true)
+    val allEdgesCut = graft.spark.Checkpoints.cut(substringEdges
+      .foldLeft(verifiedEdges.union(exactEdges))(_ union _))
+    val allEdges = allEdgesCut.df
     mark("candidates+verify")
     val nVerifiedEdges = metric(allEdges.count())
 
     // ---- 6. clustering ----
-    val cc = ConnectedComponents.run(spark, allEdges)
+    // withAllNodes=false: the left-join below supplies the full row
+    // universe, so CC skips materializing isolated nodes (roots absent
+    // from the assignment resolve to themselves via the coalesce)
+    val cc = ConnectedComponents.runCut(spark, allEdges,
+      withAllNodes = false)
     mark("cc")
-    val assignments = rows.select(col("id"))
-      .join(cc.withColumnRenamed("node", "id"), Seq("id"), "left")
+    // materialize the result, then free EVERY intermediate checkpoint:
+    // iterative pipelines that leak block-manager storage degrade the
+    // session they run in (unpersist() alone never frees localCheckpoint
+    // blocks — see Checkpoints)
+    val assignments = graft.spark.Checkpoints.cut(rows.select(col("id"))
+      .join(cc.df.withColumnRenamed("node", "id"), Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("component"), col("id")).as("cluster"))
+        coalesce(col("component"), col("id")).as("cluster"))).df
+    rowsCut.release()
+    baseCut.release()
+    allEdgesCut.release()
+    cc.release()
+    mark("finalize")
 
     val nClusters = metric(assignments.select("cluster").distinct().count())
     (assignments,

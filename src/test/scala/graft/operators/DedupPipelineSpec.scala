@@ -7,6 +7,14 @@ import graft.sources.SyntheticText
 class ConnectedComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // both physical strategies must produce identical assignments: the
+  // one-task union-find kernel (small edge sets) and the distributed
+  // large/small-star loop (forced via localKernelMaxEdges = 0)
+  def bothPaths(edges: org.apache.spark.sql.DataFrame): Seq[Map[Long, Long]] =
+    Seq(ConnectedComponents.runCut(spark, edges),
+      ConnectedComponents.runCut(spark, edges, localKernelMaxEdges = 0L))
+      .map(_.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
   test("chains, triangles, singletons and merges resolve to min-id components") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain -> 1
@@ -14,21 +22,43 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       (20L, 21L), (22L, 21L), (22L, 20L), // triangle -> 20
       (30L, 31L), (32L, 33L), (31L, 32L) // merged chain -> 30
     ).toDF("src", "dst")
-    val got = ConnectedComponents.run(spark, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
-      10L -> 10, 11L -> 10,
-      20L -> 20, 21L -> 20, 22L -> 20,
-      30L -> 30, 31L -> 30, 32L -> 30, 33L -> 30))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L)
+    bothPaths(edges).foreach(got => assert(got == expected))
   }
 
   test("long path converges (log-round behavior)") {
     val n = 200
     val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
       .toDF("src", "dst")
-    val got = ConnectedComponents.run(spark, edges).collect()
-    assert(got.length == n)
-    assert(got.forall(_.getLong(1) == 0L))
+    bothPaths(edges).foreach { got =>
+      assert(got.size == n)
+      assert(got.values.forall(_ == 0L))
+    }
+  }
+
+  test("loop path resumes from a reliable checkpoint dir") {
+    // reliable-checkpoint mode (spark.graft.checkpointDir): each round's
+    // edges land on the fault-tolerant FS instead of executor storage, so
+    // an executor loss replays from the last committed round. Here we
+    // verify the mode end-to-end: files appear under the dir and the
+    // assignment is unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val edges = (0 until 63).map(i => (i.toLong, (i + 1).toLong))
+        .toDF("src", "dst")
+      val got = ConnectedComponents
+        .runCut(spark, edges, localKernelMaxEdges = 0L)
+        .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 64 && got.values.forall(_ == 0L))
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint files written")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
   }
 }
 
