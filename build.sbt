@@ -16,6 +16,9 @@ run / fork := true
 // BENCH file came back "parsed": null because sbt's LoggedOutput prefixed
 // it with [info].
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Forward sbt's stdin to the forked program — the stdin-driven CLI modes
+// (QueryCli stdin queries, SearchCli batched search) read System.in.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

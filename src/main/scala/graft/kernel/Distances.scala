@@ -146,6 +146,10 @@ object Distances {
 
   private final class Scratch {
     var mat: Array[Int] = new Array[Int](0)
+    // gen-stamp per matrix cell: a cell not written this call reads as
+    // "inf" without an O(lenS*lenT) fill per call (the fill was measured
+    // to eat most of the banding win on long norm strings)
+    var matGen: Array[Int] = new Array[Int](0)
     var cache: Array[Int] = new Array[Int](0)
     // last-occurrence table indexed by char (normKey chars are 33..254,
     // well under 64k); gen-stamped so it never needs clearing
@@ -176,20 +180,31 @@ object Distances {
     val inf = lenS + lenT
     val w = lenT + 2
     val need = (lenS + 2) * w
-    if (sc.mat.length < need) sc.mat = new Array[Int](need)
+    if (sc.mat.length < need) {
+      sc.mat = new Array[Int](need)
+      sc.matGen = new Array[Int](need)
+    }
     val mat = sc.mat
-    // the banded fill leaves stale cells outside the band; initialize the
-    // full frame + band edges to inf so reads of just-outside-band cells
-    // are correct
-    java.util.Arrays.fill(mat, 0, need, inf)
-    mat(w + 1) = 0
-    var i = 1
-    while (i <= lenS) { mat((i + 1) * w + 1) = i; i += 1 }
-    i = 1
-    while (i <= lenT) { mat(w + i + 1) = i; i += 1 }
-
+    val matGen = sc.matGen
+    if (sc.gen == Int.MaxValue) { // stamp wrap guard (~2^31 calls/thread)
+      java.util.Arrays.fill(matGen, 0)
+      java.util.Arrays.fill(sc.lastGen, 0)
+      sc.gen = 0
+    }
     sc.gen += 1
     val gen = sc.gen
+    // gen-stamped cells: a cell not written THIS call reads as inf — no
+    // O(lenS*lenT) fill; total work per call is O((lenS+lenT) frame +
+    // lenS*band cells)
+    @inline def wr(idx: Int, v: Int): Unit = { mat(idx) = v; matGen(idx) = gen }
+    @inline def rd(idx: Int): Int = if (matGen(idx) == gen) mat(idx) else inf
+
+    wr(w + 1, 0)
+    var i = 1
+    while (i <= lenS) { wr((i + 1) * w + 1, i); i += 1 }
+    i = 1
+    while (i <= lenT) { wr(w + i + 1, i); i += 1 }
+
     val band = maxDistance
     i = 0
     while (i < lenS) {
@@ -204,25 +219,25 @@ object Distances {
         val tChar = t.charAt(j)
         val last = if (sc.lastGen(tChar) == gen) sc.last(tChar) else 0
         val cost = if (sChar == tChar) 0 else 1
-        val del = mat((ii + 1) * w + jj) + 1
-        val ins = mat(ii * w + jj + 1) + 1
-        val sub = mat(ii * w + jj) + cost
-        val trans = mat(last * w + db) + (ii - last - 1) + 1 + (jj - db - 1)
+        val del = rd((ii + 1) * w + jj) + 1
+        val ins = rd(ii * w + jj + 1) + 1
+        val sub = rd(ii * w + jj) + cost
+        val trans = rd(last * w + db) + (ii - last - 1) + 1 + (jj - db - 1)
         var m = del
         if (ins < m) m = ins
         if (sub < m) m = sub
         if (trans < m) m = trans
-        mat((ii + 1) * w + jj + 1) = m
+        wr((ii + 1) * w + jj + 1, m)
         if (cost == 0) db = jj
         j += 1
       }
-      // cells outside the band are never written and read as inf thanks
-      // to the full frame fill above
+      // cells outside the band are never written and read as inf via the
+      // gen stamps
       sc.last(sChar) = ii
       sc.lastGen(sChar) = gen
       i += 1
     }
-    val result = mat((lenS + 1) * w + lenT + 1)
+    val result = rd((lenS + 1) * w + lenT + 1)
     if (result > maxDistance) -1 else result
   }
 

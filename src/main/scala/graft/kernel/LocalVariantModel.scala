@@ -244,7 +244,10 @@ final class LocalVariantModel(
           if ((fields.length - 2) % 3 == 0 && fields.length >= 2)
             fields(1).toLongOption match {
               case Some(f) => hasFreq = Some(true); Some(f)
-              case None    => hasFreq = Some(false); None
+              // non-numeric 2nd column: the reference leaves has_freq
+              // UNSET and re-attempts detection on later lines
+              // (lib.rs:819-825 `_ => None`); only this line is freq-less
+              case None => None
             }
           else { hasFreq = Some(false); None }
         case Some(true)  => Some(fields(1).toLong)
@@ -627,6 +630,18 @@ final class LocalVariantModel(
   def text(id: Long): String = entries(id.toInt).text
 
   def entry(id: Long): VocabEntry = entries(id.toInt)
+
+  /** K4 anagram-index dump (reference `index` mode,
+    * bin/analiticcl.rs:1190-1204): every anagram value with its instance
+    * texts, insertion order within a value. The reference iterates a
+    * HashMap (unspecified order); this sorts by numeric anavalue so the
+    * dump is deterministic and goldenable.
+    */
+  def indexDump: Seq[(BigInteger, Seq[String])] =
+    index.toSeq
+      .filter(_._2.nonEmpty)
+      .sortWith((a, b) => a._1.compareTo(b._1) < 0)
+      .map { case (v, ids) => (v, ids.map(id => entries(id.toInt).text)) }
 
   /** L1 learn mode (reference: learn_variants src/lib.rs:1062-1139): match
     * every input (strict = find_variants per line; otherwise search mode's

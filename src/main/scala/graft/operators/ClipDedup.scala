@@ -36,11 +36,22 @@ object ClipDedup {
     private def done(name: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(s"${path(name)}/_SUCCESS"))
 
-    /** Run-or-resume one stage; always returns the materialized output. */
+    /** Run-or-resume one stage; always returns the materialized output.
+      * A resumed stage is only trusted when its stored schema matches the
+      * current plan's columns — a workDir written by an older code/config
+      * version is recomputed instead of silently mixing stage semantics.
+      */
     def stage(name: String)(f: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      val resumed = done(name)
-      if (!resumed) f.write.mode("overwrite").parquet(path(name))
+      lazy val plan = f // analyzed once; also the recompute source
+      var resumed = done(name)
+      if (resumed &&
+          spark.read.parquet(path(name)).columns.toSeq != plan.columns.toSeq) {
+        System.err.println(s"[clipdedup] stage $name: stored schema differs " +
+          "from current plan (older code/config version) — recomputing")
+        resumed = false
+      }
+      if (!resumed) plan.write.mode("overwrite").parquet(path(name))
       val out = spark.read.parquet(path(name))
       val rows = out.count()
       stageLog += StageResult(name, (System.nanoTime() - t0) / 1e9, rows, resumed)

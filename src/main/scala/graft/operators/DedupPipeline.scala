@@ -60,6 +60,11 @@ final case class DedupConfig(
 ) {
   require(bands * rowsPerBand <= minhashK,
     "bands * rowsPerBand must not exceed minhashK")
+  // a containment probe shorter than one shingle gets a whole-string
+  // pseudo-shingle (FastHash.shingleHashes) that can never equal any
+  // host n-shingle — pairs would be silently missed
+  require(substringMinLen == 0 || substringMinLen >= shingleN,
+    s"substringMinLen ($substringMinLen) must be 0 (off) or >= shingleN ($shingleN)")
 }
 
 /** Per-stage counters, written to the metrics table by the runner. */

@@ -12,12 +12,13 @@ import graft.audio.Wav
   * gives the same batch shape: one iterator per partition, vectorizable
   * per-row work, no per-row JVM<->interpreter crossings to pay for).
   *
-  * The audio path is REAL (RIFF/WAV s16le codec in graft.audio.Wav). The
-  * image/video decode steps are STUBS — this container has no image/video
-  * codecs — implemented as deterministic byte-derived fakes so the
-  * Spark-side plumbing (schema, partitioning, batch shape, null handling)
-  * is real and testable; swap `stubDecodeImage`/`stubDecodeVideoFrames`
-  * for a codec call in production.
+  * The audio path is REAL (RIFF/WAV s16le codec in graft.audio.Wav) and
+  * the image path is REAL (JDK `javax.imageio`: PNG/JPEG/BMP/GIF, with a
+  * byte-derived fallback for undecodable blobs). The video decode step is
+  * a STUB — this container has no video codecs — implemented as a
+  * deterministic byte-derived fake so the Spark-side plumbing (schema,
+  * partitioning, bounded-fanout explode shape, null handling) is real and
+  * testable; swap the frame decode for a codec call in production.
   */
 object MediaFeatures {
 
@@ -103,24 +104,98 @@ object MediaFeatures {
       }
   }
 
-  // --------------------------------------------------------- image (STUB)
+  // --------------------------------------------------------------- image
 
   final case class ImageFeatures(
       image_id: String,
       width: Int,
       height: Int,
-      // STUB outputs: deterministic byte-derived pseudo-statistics
+      decoded: Boolean,
       mean_luma: Double,
       edge_density: Double,
       phash64: Long
   )
 
-  /** STUB image decode: derives deterministic pseudo-pixel statistics
-    * from the raw bytes (splitmix64 over 64-byte strides) instead of a
-    * real codec. The dataflow — binary column in, fixed-width typed
-    * feature row out, batched per partition — is the production shape.
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP ship
+    * with the JDK — no external codec needed). Returns None for bytes no
+    * installed reader understands.
     */
-  private def stubDecodeImage(bytes: Array[Byte]): (Double, Double, Long) = {
+  private[operators] def decodeImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Features from decoded pixels: mean luma (Rec.601, normalized to
+    * [0,1]), horizontal-gradient edge density (|Δluma| > 16/255 between
+    * horizontal neighbors), and a 64-bit average-hash pHash (mean luma of
+    * an 8x8 grid; bit = cell above grid mean). Pixel reads are strided so
+    * per-row work is bounded (~2^16 samples) no matter the image size —
+    * the property that keeps the operator shuffle-safe at scale.
+    */
+  private[operators] def imageStats(
+      img: java.awt.image.BufferedImage): (Double, Double, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stepX = math.max(1, w / 256)
+    val stepY = math.max(1, h / 256)
+    def lumaAt(x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xFF
+      val g = (rgb >> 8) & 0xFF
+      val b = rgb & 0xFF
+      (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+    }
+    var luma = 0.0
+    var edges = 0
+    var edgeCells = 0
+    var n = 0
+    val cell = new Array[Double](64)
+    val cellN = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = -1.0
+      while (x < w) {
+        val l = lumaAt(x, y)
+        luma += l
+        n += 1
+        if (prev >= 0) {
+          if (math.abs(l - prev) > 16.0 / 255.0) edges += 1
+          edgeCells += 1
+        }
+        prev = l
+        val ci = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+        cell(ci) += l
+        cellN(ci) += 1
+        x += stepX
+      }
+      y += stepY
+    }
+    val meanLuma = luma / math.max(1, n)
+    val edgeDensity = edges.toDouble / math.max(1, edgeCells)
+    var i = 0
+    var cellMean = 0.0
+    var filled = 0
+    while (i < 64) {
+      if (cellN(i) > 0) { cell(i) /= cellN(i); cellMean += cell(i); filled += 1 }
+      i += 1
+    }
+    cellMean /= math.max(1, filled)
+    var ph = 0L
+    i = 0
+    while (i < 64) {
+      if (cellN(i) > 0 && cell(i) > cellMean) ph |= (1L << i)
+      i += 1
+    }
+    (meanLuma, edgeDensity, ph)
+  }
+
+  /** Fallback for undecodable bytes: deterministic byte-derived
+    * pseudo-statistics (splitmix64 over <=64 byte strides) so the row
+    * keeps flowing with `decoded=false` instead of dying mid-pipeline —
+    * at 10^12 rows a single corrupt blob must not fail the stage.
+    */
+  private def fallbackStats(bytes: Array[Byte]): (Double, Double, Long) = {
     var h = 0x9E3779B97F4A7C15L
     var luma = 0.0
     var edges = 0.0
@@ -137,8 +212,10 @@ object MediaFeatures {
     (luma / m / 255.0, edges / m, h)
   }
 
-  /** Image feature extraction over (image_id, bytes, width, height).
-    * Decode is stubbed (see [[stubDecodeImage]]); plumbing is real.
+  /** Image feature extraction over (image_id, bytes, width, height):
+    * JDK ImageIO decode -> luma/edge/phash features; undecodable rows
+    * fall back to byte-derived stats with `decoded=false`. Width/height
+    * come from the decoded image when available, else the metadata cols.
     */
   def imageFeatures(images: DataFrame): Dataset[ImageFeatures] = {
     val spark = images.sparkSession
@@ -149,8 +226,15 @@ object MediaFeatures {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes, w, hgt) =>
           Option(bytes).map { b =>
-            val (luma, edges, ph) = stubDecodeImage(b)
-            ImageFeatures(id, w, hgt, luma, edges, ph)
+            decodeImage(b) match {
+              case Some(img) =>
+                val (luma, edges, ph) = imageStats(img)
+                ImageFeatures(id, img.getWidth, img.getHeight,
+                  decoded = true, luma, edges, ph)
+              case None =>
+                val (luma, edges, ph) = fallbackStats(b)
+                ImageFeatures(id, w, hgt, decoded = false, luma, edges, ph)
+            }
           }
         }
       }

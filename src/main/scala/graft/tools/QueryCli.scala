@@ -11,9 +11,9 @@ import graft.kernel._
   * graft.operators.
   *
   * Usage: runMain graft.tools.QueryCli <lexicon.tsv>
-  *          [--json] [--variants <weighted.tsv>] [--errors <errors.tsv>]
-  *          [--rules <contextrules.tsv>] [--confusables <sesdiff.tsv>]
-  *          [query...]
+  *          [--json] [--index] [--variants <weighted.tsv>]
+  *          [--errors <errors.tsv>] [--rules <contextrules.tsv>]
+  *          [--confusables <sesdiff.tsv>] [query...]
   *        (no queries -> read one query per line from stdin)
   * The lexicon TSV: text [<TAB> absolute frequency]. `--variants` loads a
   * weighted variant list (S3); `--errors` loads one transparently.
@@ -37,6 +37,7 @@ object QueryCli {
 
     var rest = args.drop(1).toList
     var json = false
+    var indexMode = false
     def loadLines(path: String)(f: Iterator[String] => Unit): Unit = {
       val s = scala.io.Source.fromFile(path, "UTF-8")
       try f(s.getLines()) finally s.close()
@@ -44,6 +45,7 @@ object QueryCli {
     var more = true
     while (more) rest match {
       case "--json" :: t => json = true; rest = t
+      case "--index" :: t => indexMode = true; rest = t
       case "--variants" :: f :: t =>
         loadLines(f)(ls => model.readVariantsLines(ls.to(Iterable), sourceName = f))
         rest = t
@@ -70,6 +72,15 @@ object QueryCli {
       case _ => more = false
     }
     model.build()
+
+    if (indexMode) {
+      // K4: anagram-index dump (reference `index` subcommand,
+      // bin/analiticcl.rs:1190-1204): anavalue TAB instance texts
+      model.indexDump.foreach { case (v, texts) =>
+        println((v.toString +: texts).mkString("\t"))
+      }
+      return
+    }
 
     val params = SearchParameters()
     val queries: Iterator[String] =

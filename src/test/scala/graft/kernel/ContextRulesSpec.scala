@@ -183,6 +183,25 @@ class ContextRulesSpec extends AnyFunSuite {
     assert(m.lexicons.contains("errors.tsv"))
   }
 
+  test("S3 freq auto-detect retries after a non-numeric 2nd column") {
+    // reference lib.rs:815-830: a first line whose column count FITS the
+    // freq layout but whose 2nd column is non-numeric leaves has_freq
+    // UNSET (that line alone is freq-less); detection re-attempts on the
+    // next line instead of locking to Some(false)
+    val m = new LocalVariantModel(Alphabet.test)
+    val n = m.readVariantsLines(Seq(
+      // 5 cols = freq-shaped count, but col2 is a variant (non-numeric):
+      // parsed freq-less, detection stays open
+      "huis\thuys\t0.8\thuijs\t0.6",
+      "gracht\t50\tgraft\t0.7\t10" // numeric col2 -> detected true here
+    ))
+    assert(m.haveFreq)
+    assert(m.entry(m.encode("huis").get).referenceFor.size == 2)
+    assert(m.entry(m.encode("gracht").get).frequency == 50L)
+    assert(m.entry(m.encode("graft").get).frequency == 10L)
+    assert(n == 3)
+  }
+
   test("S3 transparent variants bridge but drop out of results (0801 shape)") {
     val m = new LocalVariantModel(Alphabet.test)
     m.add("separate")

@@ -46,7 +46,39 @@ class MediaFeaturesSpec extends SparkSpecBase {
     assert(f.n_samples == sr)
   }
 
-  test("image stub: real plumbing, deterministic byte-derived features") {
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image features: real ImageIO decode of generated PNGs") {
+    val white = pngBytes(32, 24)((_, _) => 0xFFFFFF)
+    val black = pngBytes(32, 24)((_, _) => 0x000000)
+    // left half black / right half white: strong vertical edge
+    val halves = pngBytes(32, 32)((x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val df = Seq(
+      ("white", white, 0, 0), ("black", black, 0, 0), ("halves", halves, 0, 0)
+    ).toDF("image_id", "bytes", "width", "height")
+    val out = MediaFeatures.imageFeatures(df).collect()
+      .map(f => f.image_id -> f).toMap
+    assert(out.values.forall(_.decoded))
+    assert(out("white").width == 32 && out("white").height == 24) // decoded dims
+    assert(out("white").mean_luma > 0.99)
+    assert(out("black").mean_luma < 0.01)
+    assert(math.abs(out("halves").mean_luma - 0.5) < 0.05)
+    assert(out("white").edge_density == 0.0)
+    assert(out("halves").edge_density > 0.0) // the black->white boundary
+    // average-hash: uniform images have no above-mean cells; the split
+    // image sets exactly its white half's cells
+    assert(out("white").phash64 == 0L)
+    assert(java.lang.Long.bitCount(out("halves").phash64) == 32)
+  }
+
+  test("image fallback: undecodable bytes keep flowing, deterministic") {
     val img1 = Array.tabulate(4096)(i => (i * 31 % 251).toByte)
     val img2 = Array.tabulate(4096)(i => (i * 17 % 251).toByte)
     val df = Seq(
@@ -55,7 +87,9 @@ class MediaFeaturesSpec extends SparkSpecBase {
     val out = MediaFeatures.imageFeatures(df).collect()
       .map(f => f.image_id -> f).toMap
     assert(out.size == 3)
-    assert(out("a").phash64 == out("c").phash64) // same bytes, same stub
+    assert(out.values.forall(!_.decoded))
+    assert(out("a").width == 64) // metadata dims when undecodable
+    assert(out("a").phash64 == out("c").phash64) // same bytes, same stats
     assert(out("a").phash64 != out("b").phash64)
     assert(out("a").mean_luma >= 0.0 && out("a").mean_luma <= 1.0)
   }
