@@ -146,6 +146,17 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // guard metric for the per-source self-join queries (p05/p06/
+    // dedup_jaccard/r4/r6): their pinned oracle semantics block on
+    // `source`, so their cost is quadratic in the LARGEST source group —
+    // fine while this bound stays O(100s); if the driver ever scales
+    // `documents` such that it grows, those queries must pre-block on
+    // band keys instead (the production dedup path already does).
+    val maxSourceGroup =
+      try graft.spark.Tables.documents(spark, sfDir)
+        .groupBy("source").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      catch { case _: Throwable => -1L }
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -164,6 +175,8 @@ object Bench {
         f""""hi_items_per_sec":${nQ / tmHi}%.1f,""" +
         f""""scaling_efficiency":$mEfficiency%.3f}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"dedup":$dedupJson,"matcher":$matcherJson,"sf":"$sfDir"}""")
+      s""""queries":$qs,"dedup":$dedupJson,"matcher":$matcherJson,""" +
+      s""""guards":{"documents_max_source_group":$maxSourceGroup},""" +
+      s""""sf":"$sfDir"}""")
   }
 }

@@ -83,6 +83,14 @@ object Queries {
 
     // --- P5: Levenshtein verify over candidate pairs (same-source
     //     blocking); Spark-native codegen'd levenshtein ---
+    // BLOCKING CONTRACT (applies to p05/p06/dedup_jaccard/r4/r6): these
+    // oracles pin per-source self-join semantics, quadratic in the
+    // largest `source` group (~250 rows/group at sf0.1 — Bench emits the
+    // bound as guards.documents_max_source_group). If `documents` ever
+    // scales such that source groups grow 100x, the blocking key must
+    // become LSH band keys — exactly what DedupPipeline's production
+    // candidate generation does; these queries exist to pin kernel
+    // semantics against DuckDB, not as the scale path.
     "p05_levenshtein_pairs" -> Q(
       (s, d) => {
         val t = Tables.documents(s, d)

@@ -38,6 +38,7 @@ object QueryCli {
     var rest = args.drop(1).toList
     var json = false
     var indexMode = false
+    var testInput = false
     def loadLines(path: String)(f: Iterator[String] => Unit): Unit = {
       val s = scala.io.Source.fromFile(path, "UTF-8")
       try f(s.getLines()) finally s.close()
@@ -46,6 +47,7 @@ object QueryCli {
     while (more) rest match {
       case "--json" :: t => json = true; rest = t
       case "--index" :: t => indexMode = true; rest = t
+      case "--testinput" :: t => testInput = true; rest = t
       case "--variants" :: f :: t =>
         loadLines(f)(ls => model.readVariantsLines(ls.to(Iterable), sourceName = f))
         rest = t
@@ -72,6 +74,25 @@ object QueryCli {
       case _ => more = false
     }
     model.build()
+
+    if (testInput) {
+      // testinput debug mode (reference bin/analiticcl.rs:1007-1023):
+      // per input, anagram value + normalized form; inputs containing a
+      // character outside the alphabet (UNK prime divides the anavalue)
+      // report UNKNOWN on stderr, fully-encodable ones OK on stdout
+      val alphabet = Alphabet.simpleLatin
+      val unkPrime = AnaHash.primeFor(alphabet.size)
+      val inputs: Iterator[String] =
+        if (rest.nonEmpty) rest.iterator else scala.io.Source.stdin.getLines()
+      for (input <- inputs) {
+        val av = alphabet.anahash(input)
+        val norm = alphabet.normalize(input).mkString("[", ", ", "]")
+        if (av.mod(unkPrime).signum == 0)
+          System.err.println(s"UNKNOWN: $input\t$av\t$norm")
+        else println(s"OK: $input\t$av\t$norm")
+      }
+      return
+    }
 
     if (indexMode) {
       // K4: anagram-index dump (reference `index` subcommand,

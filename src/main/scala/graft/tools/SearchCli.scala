@@ -50,7 +50,7 @@ object SearchCli {
     */
   def processSearch(model: LocalVariantModel, lines: Iterator[String],
       params: SearchParameters, newlineAsSpace: Boolean, perLine: Boolean,
-      out: String => Unit): Unit = {
+      out: String => Unit, lexMatch: Boolean = false): Unit = {
     var first = true
     var batch = nextBatch(lines, newlineAsSpace, perLine)
     while (batch.isDefined) {
@@ -58,9 +58,19 @@ object SearchCli {
       if (!first && matches.nonEmpty) out("")
       for (m <- matches) {
         val corrected = SearchEngine.matchToStr(model, m)
-        val score = m.selected.flatMap(s => m.variants.flatMap(_.lift(s)))
-          .map(_.distScore.toString).getOrElse("-")
-        out(s"${m.offset.begin}:${m.offset.end}\t${m.text}\t$corrected\t$score")
+        val selectedVariant = m.selected.flatMap(s => m.variants.flatMap(_.lift(s)))
+        val score = selectedVariant.map(_.distScore.toString).getOrElse("-")
+        // per-match source-lexicon provenance (reference output_lexmatch,
+        // bin/analiticcl.rs:61-74: `"lex1;lex2"` appended per result)
+        val lexCol =
+          if (!lexMatch) ""
+          else selectedVariant.map { v =>
+            val e = model.entry(v.vocabId)
+            "\t\"" + model.lexicons.zipWithIndex
+              .collect { case (n, i) if e.inLexicon(i) => n }
+              .mkString(";") + "\""
+          }.getOrElse("\t\"\"")
+        out(s"${m.offset.begin}:${m.offset.end}\t${m.text}\t$corrected\t$score$lexCol")
       }
       if (matches.nonEmpty) first = false
       batch = nextBatch(lines, newlineAsSpace, perLine)
@@ -75,11 +85,13 @@ object SearchCli {
       sys.exit(2)
     }
     val model = new LocalVariantModel(Alphabet.simpleLatin)
+    val lexIndex = model.addLexiconName(args(0))
     val src = scala.io.Source.fromFile(args(0), "UTF-8")
     try src.getLines().foreach { line =>
       val cols = line.split('\t')
       if (cols.nonEmpty && cols(0).nonEmpty)
-        model.add(cols(0), cols.lift(1).flatMap(_.toLongOption))
+        model.add(cols(0), cols.lift(1).flatMap(_.toLongOption),
+          lexIndex = lexIndex)
     } finally src.close()
 
     var rest = args.drop(1).toList
@@ -94,18 +106,20 @@ object SearchCli {
     }
     val newlineAsSpace = rest.contains("--newline-as-space")
     val perLine = rest.contains("--per-line")
-    rest = rest.filterNot(a => a == "--newline-as-space" || a == "--per-line")
+    val lexMatch = rest.contains("--lexmatch")
+    rest = rest.filterNot(a =>
+      a == "--newline-as-space" || a == "--per-line" || a == "--lexmatch")
     model.build()
 
     val params = SearchParameters()
     if (rest.isEmpty || rest == List("-")) {
       processSearch(model, scala.io.Source.stdin.getLines(), params,
-        newlineAsSpace, perLine, println)
+        newlineAsSpace, perLine, println, lexMatch)
     } else {
       // each trailing arg is its own batch (the reference's direct-text
       // convenience path)
       processSearch(model, rest.iterator, params,
-        newlineAsSpace, perLine = true, println)
+        newlineAsSpace, perLine = true, println, lexMatch)
     }
   }
 }
