@@ -86,12 +86,17 @@ final class Kernels(alphabet: Alphabet) extends Serializable {
   }
 
   /** P6: full Damerau-Levenshtein over normalized forms; -1 = exceeded
-    * max. This is the dedup verification kernel.
+    * max. This is the dedup verification kernel. Computed via the banded
+    * zero-allocation [[Distances.dlChars]] over the compact normKey
+    * rendering (one char per class index — identical integers to the
+    * parity matrix implementation, pinned by DistancesPropSpec's 20k-case
+    * equivalence property).
     */
   def damerau(a: Column, b: Column, maxDistance: Int): Column = {
     val f = udf { (x: String, y: String) =>
       if (x == null || y == null) -1
-      else Distances.damerauLevenshtein(alphabet.normalize(x), alphabet.normalize(y), maxDistance)
+      else Distances.dlChars(Kernels.toNormKey(alphabet.normalize(x)),
+        Kernels.toNormKey(alphabet.normalize(y)), maxDistance)
     }
     f(a, b)
   }
@@ -194,4 +199,14 @@ final class Kernels(alphabet: Alphabet) extends Serializable {
 object Kernels {
   lazy val test = new Kernels(Alphabet.test)
   lazy val simpleLatin = new Kernels(Alphabet.simpleLatin)
+
+  /** Compact one-char-per-class rendering of a normalized form (codepoint
+    * 33 + class index; collision-free for alphabets up to 168 classes).
+    */
+  private[functions] def toNormKey(n: Array[Int]): String = {
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) { sb.append((33 + n(i)).toChar); i += 1 }
+    sb.toString
+  }
 }

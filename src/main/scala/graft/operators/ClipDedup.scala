@@ -38,20 +38,22 @@ object ClipDedup {
 
     /** Run-or-resume one stage; always returns the materialized output.
       * A resumed stage is only trusted when its stored schema matches the
-      * current plan's columns — a workDir written by an older code/config
+      * expected columns — a workDir written by an older code/config
       * version is recomputed instead of silently mixing stage semantics.
+      * (`expect` is a literal list, NOT derived from the plan: deriving
+      * it would force plan construction — and for stages whose builder
+      * runs driver actions, the whole computation — on every resume.)
       */
-    def stage(name: String)(f: => DataFrame): DataFrame = {
+    def stage(name: String, expect: Seq[String])(f: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      lazy val plan = f // analyzed once; also the recompute source
       var resumed = done(name)
       if (resumed &&
-          spark.read.parquet(path(name)).columns.toSeq != plan.columns.toSeq) {
+          spark.read.parquet(path(name)).columns.toSeq != expect) {
         System.err.println(s"[clipdedup] stage $name: stored schema differs " +
           "from current plan (older code/config version) — recomputing")
         resumed = false
       }
-      if (!resumed) plan.write.mode("overwrite").parquet(path(name))
+      if (!resumed) f.write.mode("overwrite").parquet(path(name))
       val out = spark.read.parquet(path(name))
       val rows = out.count()
       stageLog += StageResult(name, (System.nanoTime() - t0) / 1e9, rows, resumed)
@@ -75,87 +77,56 @@ object ClipDedup {
     val K = new Kernels(alphabet)
     val r = new Runner(spark, workDir)
 
-    // ---- stage 1: sketches (narrow map over the input) ----
-    val sketches = r.stage("sketches") {
+    // ---- stage 1: per-clip normalization (narrow map over the input;
+    //      this is the clip_id <-> id <-> norm-hash universe the later
+    //      stages and the final assignment join against) ----
+    val norms = r.stage("norms",
+        Seq("clip_id", "id", "text", "norm", "nh")) {
       clips.select(col("clip_id"), col("transcript"))
         .withColumn("id", xxhash64(col("clip_id")))
+        .withColumn("text", col("transcript"))
         .withColumn("norm", K.normKey(col("transcript")))
-        .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
-          cfg.minhashK, cfg.bands, cfg.rowsPerBand))
-        .select(col("clip_id"), col("id"), col("norm"),
-          K.caseClass(col("transcript")).as("lc"),
-          length(col("norm")).as("len"),
-          col("sk._2").as("sim"), col("sk._3").as("bands"),
-          col("sk._4").as("anakey"))
+        .withColumn("nh", xxhash64(col("norm")))
+        .select(col("clip_id"), col("id"), col("text"), col("norm"), col("nh"))
     }
 
-    // ---- stage 2: candidate pairs (LSH + simhash + anagram + exact) ----
-    val candidates = r.stage("candidates") {
-      // hot keys via a codegen'd count agg, broadcast back as a map-side
-      // filter; collect_list touches only non-singleton (2..cap) buckets;
-      // pairs length-prefiltered (|lenA-lenB| <= maxEditDistance is
-      // necessary for the DL verify to pass) — see DedupPipeline.pairsFrom
-      def pairsFrom(keyed: DataFrame): DataFrame = {
-        val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
-          .filter(col("n").between(2, cfg.bucketCap))
-          .select(col("k"))
-        keyed.join(broadcast(hot), Seq("k"))
-          .groupBy("k")
-          .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
-          .select(explode(col("ms")).as("a"), col("ms"))
-          .select(col("a"), explode(col("ms")).as("b"))
-          .filter(col("a.id") < col("b.id") &&
-            abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
-          .select(col("a.id").as("a"), col("b.id").as("b"))
-      }
-
-      val lsh = pairsFrom(sketches.select(col("id"), col("len"),
-        explode(col("bands")).as("k")))
-
-      val chunkBits = 64 / cfg.simhashBands
-      val sim = pairsFrom(sketches.select(col("id"), col("len"),
-        explode(array((0 until cfg.simhashBands).map { b =>
-          xxhash64(lit(b), shiftright(col("sim"), b * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).cast("string"))
-        }: _*)).as("k")))
-
-      val ana = pairsFrom(sketches.select(col("id"), col("len"),
-        col("anakey").as("k")))
-
-      lsh.union(sim).union(ana).distinct()
+    // ---- stage 2: sketches over DISTINCT norms (exact-dup groups
+    //      collapse to their min-id representative BEFORE candidate
+    //      generation — identical texts can never pile into an LSH
+    //      bucket; shared builder with DedupPipeline) ----
+    val sketches = r.stage("sketches",
+        Seq("id", "norm", "lc", "len", "sim", "bands", "anakey")) {
+      DedupPipeline.sketchBase(norms, cfg, K)
     }
 
-    // ---- stage 3: verified edges (kernel score on candidates + exact) ----
-    val edges = r.stage("edges") {
-      val texts = sketches.select(col("id"), col("norm"), col("lc"))
-        .hint("SHUFFLE_HASH")
-      val verified = candidates
-        .join(texts.select(col("id").as("a"), col("norm").as("na"),
-          col("lc").as("lca")), Seq("a"))
-        .join(texts.select(col("id").as("b"), col("norm").as("nb"),
-          col("lc").as("lcb")), Seq("b"))
-        .withColumn("score",
-          K.pairScoreMaxPre(col("na"), col("nb"), col("lca"), col("lcb"),
-            cfg.maxEditDistance, cfg.weights))
-        .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
-      val exact = sketches
-        .select(col("id"), xxhash64(col("norm")).as("h"))
-        .withColumn("root", min("id").over(wh))
-        .filter(col("id") =!= col("root"))
-        .select(col("root").as("src"), col("id").as("dst"))
-      verified.union(exact).distinct()
+    // ---- stage 3: candidate pairs (one keyed union over LSH + simhash
+    //      + anagram paths -> one count agg -> capped buckets) ----
+    val candidates = r.stage("candidates", Seq("a", "b")) {
+      DedupPipeline.candidatePairs(sketches, cfg).distinct()
     }
 
-    // ---- stage 4: clusters ----
-    val clusters = r.stage("clusters") {
-      val cc = ConnectedComponents.run(spark, edges)
-      sketches.select(col("clip_id"), col("id"))
-        .join(cc.withColumnRenamed("node", "id"), Seq("id"), "left")
+    // ---- stage 4: verified edges (kernel score on candidates + exact
+    //      star edges + optional containment pass) ----
+    val edges = r.stage("edges", Seq("src", "dst")) {
+      val verified = DedupPipeline.verifyPairs(candidates, sketches, cfg, K)
+      val exact = DedupPipeline.exactStarEdges(norms)
+      val withSub =
+        if (cfg.substringMinLen > 0)
+          verified.union(DedupPipeline.containmentEdges(sketches, cfg))
+        else verified
+      withSub.union(exact).distinct()
+    }
+
+    // ---- stage 5: clusters ----
+    var ccCut: graft.spark.Checkpoints.Cut = null
+    val clusters = r.stage("clusters", Seq("clip_id", "cluster_id")) {
+      ccCut = ConnectedComponents.runCut(spark, edges, withAllNodes = false)
+      norms.select(col("clip_id"), col("id"))
+        .join(ccCut.df.withColumnRenamed("node", "id"), Seq("id"), "left")
         .select(col("clip_id"),
           coalesce(col("component"), col("id")).as("cluster_id"))
     }
+    if (ccCut != null) ccCut.release()
 
     (clusters, r.stageLog.toSeq)
   }

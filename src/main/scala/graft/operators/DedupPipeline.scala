@@ -147,147 +147,30 @@ object DedupPipeline {
     val rows = rowsCut.df // read twice: exact stage + rep election
     val nRows = metric(rows.count())
 
-    // ---- 2. exact duplicates (hash group; no verification needed).
-    //      Window-min star edges, not collect_list: a pathological
-    //      million-copy text must not materialize a million-element array
-    //      in one row. ----
-    import org.apache.spark.sql.expressions.Window
-    val wh = Window.partitionBy("nh")
-    val exactEdges = rows
-      .select(col("id"), col("nh"))
-      .withColumn("root", min("id").over(wh))
-      .filter(col("id") =!= col("root"))
-      .select(col("root").as("src"), col("id").as("dst"))
+    // ---- 2. exact duplicates (hash group; no verification needed) ----
+    val exactEdges = exactStarEdges(rows)
     val nExactGroups = metric(exactEdges.select("src").distinct().count())
 
-    // ---- 1b. sketch DISTINCT norms only. Web-scale corpora are dominated
-    //      by exact duplicates; collapsing them before candidate
-    //      generation (representative = min id = the exact-group root, so
-    //      the edge sets compose) keeps every LSH bucket bounded by the
-    //      number of DISTINCT texts sharing a band — identical texts can
-    //      never pile into one bucket — and runs the sketch UDF once per
-    //      distinct text instead of once per row. ----
-    val baseCut = graft.spark.Checkpoints.cut(rows
-      .groupBy("nh")
-      .agg(min(struct(col("id"), col("text"), col("norm"))).as("r"))
-      .select(col("r.id").as("id"), col("r.text").as("text"),
-        col("r.norm").as("norm"))
-      .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
-        cfg.minhashK, cfg.bands, cfg.rowsPerBand))
-      .select(col("id"), col("norm"), K.caseClass(col("text")).as("lc"),
-        length(col("norm")).as("len"),
-        col("sk._2").as("sim"), col("sk._3").as("bands"),
-        col("sk._4").as("anakey")))
+    // ---- 1b. sketch DISTINCT norms only (see [[sketchBase]]) ----
+    val baseCut = graft.spark.Checkpoints.cut(sketchBase(rows, cfg, K))
     val base = baseCut.df // sketches reused by three candidate paths
     mark("sketch")
 
-    // shared bucket -> pair expansion. Three scale facts shape this:
-    //  1. almost every bucket key is a SINGLETON (one row), so the first
-    //     pass is a pure `count` aggregation — whole-stage-codegen'd,
-    //     map-side partial — never a collect_list over the full volume
-    //     (ObjectHashAggregate falls back to SORT-based aggregation at
-    //     128 distinct keys per partition, i.e. collect_list over 60M
-    //     keys degenerates to a full sort of the band rows);
-    //  2. the surviving hot-key set (2..cap rows) is small — broadcast
-    //     it and filter the band rows MAP-SIDE, so the only full-volume
-    //     shuffle is the count agg;
-    //  3. pairs are LENGTH-PREFILTERED (a DL <= maxEditDistance verify
-    //     needs |lenA-lenB| <= maxEditDistance — measured 170x
-    //     over-generation without it) before the cross-path distinct, so
-    //     the kernel scores each surviving pair exactly once no matter
-    //     how many bands it collided in.
-    def pairsFrom(keyed: DataFrame): DataFrame = {
-      val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, cfg.bucketCap))
-        .select(col("k"))
-      keyed.join(broadcast(hot), Seq("k"))
-        .groupBy("k")
-        .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
-        .select(explode(col("ms")).as("a"), col("ms"))
-        .select(col("a"), explode(col("ms")).as("b"))
-        .filter(col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
-        .select(col("a.id").as("a"), col("b.id").as("b"))
-    }
-
-    // ---- 3+4+4b. ONE keyed union drives all three candidate paths —
-    //      MinHash-LSH bands, SimHash pigeonhole chunks (Hamming <=
-    //      simhashBands-1 pairs share >= 1 exact chunk), and the
-    //      anagram-equality key (same character bag: the reference's
-    //      exact-anagram probe, lib.rs:1158-1174, catching pure
-    //      transpositions shingle LSH can miss). All keys are mixed
-    //      64-bit values (cross-path collisions ~ n^2/2^64 and only ever
-    //      ADD a to-be-verified candidate), so one count agg + one hot-key
-    //      broadcast + one bucket pass replace three of each — a third of
-    //      the per-stage driver latency, same pairs. ----
-    val chunkBits = 64 / cfg.simhashBands
-    val keyedAll = base.select(col("id"), col("len"),
-        explode(col("bands")).as("k"))
-      .union(base.select(col("id"), col("len"),
-        explode(array((0 until cfg.simhashBands).map { b =>
-          xxhash64(lit(b), shiftright(col("sim"), b * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)))
-        }: _*)).as("k")))
-      .union(base.select(col("id"), col("len"), col("anakey").as("k")))
-    val nDroppedBuckets = metric(keyedAll.groupBy("k")
+    // ---- 3+4+4b. candidate generation (shared with ClipDedup — see
+    //      [[candidatePairs]]) ----
+    val nDroppedBuckets = metric(candidateKeys(base, cfg).groupBy("k")
       .agg(count(lit(1)).as("n")).filter(col("n") > cfg.bucketCap).count())
-    val allPairs = pairsFrom(keyedAll)
+    val allPairs = candidatePairs(base, cfg)
 
-    // ---- 4c. substring-containment pass (the suffix-array role done
-    //      Spark-native): if norm(A) ⊆ norm(B) then every shingle of A is
-    //      a shingle of B, so anchoring A on its MINIMUM shingle hash and
-    //      exploding B by ALL its distinct shingle hashes meets every
-    //      containment pair on an equi-join key — no suffix array, no
-    //      cross join; host fanout is bounded by the normalized length
-    //      (short transcripts). Verification is exact (`instr`), so these
-    //      become edges directly, bypassing the DL kernel which would
-    //      reject large length gaps. ----
-    val substringEdges: Option[DataFrame] = if (cfg.substringMinLen > 0) Some {
-      val probes = base
-        .filter(length(col("norm")) >= cfg.substringMinLen)
-        .select(col("id").as("a"), col("norm").as("anorm"),
-          length(col("norm")).as("alen"),
-          FastHash.minShingleHash(col("norm"), cfg.shingleN).as("akey"))
-      val whost = Window.partitionBy("akey")
-      val hosts = base
-        .select(col("id").as("b"), col("norm").as("bnorm"),
-          length(col("norm")).as("blen"),
-          explode(FastHash.shingleHashSet(col("norm"), cfg.shingleN)).as("akey"))
-        .withColumn("bucket_n", count(lit(1)).over(whost))
-        .filter(col("bucket_n") <= cfg.bucketCap)
-        .drop("bucket_n")
-      probes.join(hosts, Seq("akey"))
-        .filter(col("alen") < col("blen") &&
-          instr(col("bnorm"), col("anorm")) >= 1)
-        .select(least(col("a"), col("b")).as("src"),
-          greatest(col("a"), col("b")).as("dst"))
-        .distinct()
-    } else None
+    // ---- 4c. substring-containment pass (see [[containmentEdges]]) ----
+    val substringEdges: Option[DataFrame] =
+      if (cfg.substringMinLen > 0) Some(containmentEdges(base, cfg)) else None
 
     val candidates = allPairs.distinct()
     val nCandidatePairs = metric(candidates.count())
 
-    // ---- 5. verification: analiticcl kernel, each distinct pair scored
-    //      once on PRECOMPUTED norms (features once per pair, both
-    //      direction normalizations, max — pairScoreMaxPre). Norms arrive
-    //      by SHUFFLE-HASH join (hinted): no sort of the candidate
-    //      stream (sort-merge measured 2-3x slower) and no single-threaded
-    //      driver broadcast build (at 1.5M reps a broadcast serialized the
-    //      whole stage). ----
-    val texts0 = base.select(col("id"), col("norm"), col("lc"))
-    val texts =
-      if (cfg.broadcastTexts) broadcast(texts0)
-      else texts0.hint("SHUFFLE_HASH")
-    val verifiedEdges = candidates
-      .join(texts.select(col("id").as("a"), col("norm").as("na"),
-        col("lc").as("lca")), Seq("a"))
-      .join(texts.select(col("id").as("b"), col("norm").as("nb"),
-        col("lc").as("lcb")), Seq("b"))
-      .withColumn("score",
-        K.pairScoreMaxPre(col("na"), col("nb"), col("lca"), col("lcb"),
-          cfg.maxEditDistance, cfg.weights))
-      .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
-      .select(col("a").as("src"), col("b").as("dst"))
+    // ---- 5. verification (see [[verifyPairs]]) ----
+    val verifiedEdges = verifyPairs(candidates, base, cfg, K)
 
     // always checkpoint edges: CC iterates over them
     val allEdgesCut = graft.spark.Checkpoints.cut(substringEdges
@@ -321,5 +204,160 @@ object DedupPipeline {
     (assignments,
       DedupMetrics(nRows, nExactGroups, nCandidatePairs, nDroppedBuckets,
         nVerifiedEdges, nClusters))
+  }
+
+  // ------------------------------------------------------------------
+  // Shared stage builders (used by both run() and the checkpointed
+  // ClipDedup job — one implementation, one plan shape).
+  // ------------------------------------------------------------------
+
+  /** Normalize + sketch DISTINCT norms only. Web-scale corpora are
+    * dominated by exact duplicates; collapsing them before candidate
+    * generation (representative = min id = the exact-group root, so the
+    * edge sets compose) keeps every LSH bucket bounded by the number of
+    * DISTINCT texts sharing a band — identical texts can never pile into
+    * one bucket — and runs the sketch UDF once per distinct text instead
+    * of once per row. Input: (id, text, norm, nh) rows; output base:
+    * (id, norm, lc, len, sim, bands, anakey).
+    */
+  def sketchBase(rows: DataFrame, cfg: DedupConfig, K: Kernels): DataFrame =
+    rows
+      .groupBy("nh")
+      .agg(min(struct(col("id"), col("text"), col("norm"))).as("r"))
+      .select(col("r.id").as("id"), col("r.text").as("text"),
+        col("r.norm").as("norm"))
+      .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
+        cfg.minhashK, cfg.bands, cfg.rowsPerBand))
+      .select(col("id"), col("norm"), K.caseClass(col("text")).as("lc"),
+        length(col("norm")).as("len"),
+        col("sk._2").as("sim"), col("sk._3").as("bands"),
+        col("sk._4").as("anakey"))
+
+  /** Exact duplicates: window-min star edges, not collect_list — a
+    * pathological million-copy text must not materialize a
+    * million-element array in one row. Input needs (id, nh).
+    */
+  def exactStarEdges(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = Window.partitionBy("nh")
+    rows
+      .select(col("id"), col("nh"))
+      .withColumn("root", min("id").over(wh))
+      .filter(col("id") =!= col("root"))
+      .select(col("root").as("src"), col("id").as("dst"))
+  }
+
+  /** ONE keyed union drives all three candidate paths — MinHash-LSH
+    * bands, SimHash pigeonhole chunks (Hamming <= simhashBands-1 pairs
+    * share >= 1 exact chunk), and the anagram-equality key (same
+    * character bag: the reference's exact-anagram probe,
+    * lib.rs:1158-1174, catching pure transpositions shingle LSH can
+    * miss). All keys are mixed 64-bit values (cross-path collisions ~
+    * n^2/2^64 and only ever ADD a to-be-verified candidate), so one
+    * count agg + one hot-key broadcast + one bucket pass replace three
+    * of each — a third of the per-stage driver latency, same pairs.
+    */
+  def candidateKeys(base: DataFrame, cfg: DedupConfig): DataFrame = {
+    val chunkBits = 64 / cfg.simhashBands
+    base.select(col("id"), col("len"), explode(col("bands")).as("k"))
+      .union(base.select(col("id"), col("len"),
+        explode(array((0 until cfg.simhashBands).map { b =>
+          xxhash64(lit(b), shiftright(col("sim"), b * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)))
+        }: _*)).as("k")))
+      .union(base.select(col("id"), col("len"), col("anakey").as("k")))
+  }
+
+  /** Bucket -> pair expansion. Three scale facts shape this:
+    *  1. almost every bucket key is a SINGLETON (one row), so the first
+    *     pass is a pure `count` aggregation — whole-stage-codegen'd,
+    *     map-side partial — never a collect_list over the full volume
+    *     (ObjectHashAggregate falls back to SORT-based aggregation at
+    *     128 distinct keys per partition, i.e. collect_list over 60M
+    *     keys degenerates to a full sort of the band rows);
+    *  2. the surviving hot-key set (2..cap rows) is small — broadcast
+    *     it and filter the band rows MAP-SIDE, so the only full-volume
+    *     shuffle is the count agg;
+    *  3. pairs are LENGTH-PREFILTERED (a DL <= maxEditDistance verify
+    *     needs |lenA-lenB| <= maxEditDistance — measured 170x
+    *     over-generation without it) before the cross-path distinct, so
+    *     the kernel scores each surviving pair exactly once no matter
+    *     how many bands it collided in.
+    */
+  def pairsFromKeys(keyed: DataFrame, cfg: DedupConfig): DataFrame = {
+    val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, cfg.bucketCap))
+      .select(col("k"))
+    keyed.join(broadcast(hot), Seq("k"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+  }
+
+  /** Candidate pairs from a sketched base — all three paths, one pass. */
+  def candidatePairs(base: DataFrame, cfg: DedupConfig): DataFrame =
+    pairsFromKeys(candidateKeys(base, cfg), cfg)
+
+  /** Substring-containment pass (the suffix-array role done
+    * Spark-native): if norm(A) ⊆ norm(B) then every shingle of A is a
+    * shingle of B, so anchoring A on its MINIMUM shingle hash and
+    * exploding B by ALL its distinct shingle hashes meets every
+    * containment pair on an equi-join key — no suffix array, no cross
+    * join; host fanout is bounded by the normalized length (short
+    * transcripts). Verification is exact (`instr`), so these become
+    * edges directly, bypassing the DL kernel which would reject large
+    * length gaps.
+    */
+  def containmentEdges(base: DataFrame, cfg: DedupConfig): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = base
+      .filter(length(col("norm")) >= cfg.substringMinLen)
+      .select(col("id").as("a"), col("norm").as("anorm"),
+        length(col("norm")).as("alen"),
+        FastHash.minShingleHash(col("norm"), cfg.shingleN).as("akey"))
+    val whost = Window.partitionBy("akey")
+    val hosts = base
+      .select(col("id").as("b"), col("norm").as("bnorm"),
+        length(col("norm")).as("blen"),
+        explode(FastHash.shingleHashSet(col("norm"), cfg.shingleN)).as("akey"))
+      .withColumn("bucket_n", count(lit(1)).over(whost))
+      .filter(col("bucket_n") <= cfg.bucketCap)
+      .drop("bucket_n")
+    probes.join(hosts, Seq("akey"))
+      .filter(col("alen") < col("blen") &&
+        instr(col("bnorm"), col("anorm")) >= 1)
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+  }
+
+  /** Verification: analiticcl kernel, each distinct pair scored once on
+    * PRECOMPUTED norms (features once per pair, both direction
+    * normalizations, max — pairScoreMaxPre). Norms arrive by
+    * SHUFFLE-HASH join (hinted): no sort of the candidate stream
+    * (sort-merge measured 2-3x slower) and no single-threaded driver
+    * broadcast build (at 1.5M reps a broadcast serialized the whole
+    * stage).
+    */
+  def verifyPairs(candidates: DataFrame, base: DataFrame,
+      cfg: DedupConfig, K: Kernels): DataFrame = {
+    val texts0 = base.select(col("id"), col("norm"), col("lc"))
+    val texts =
+      if (cfg.broadcastTexts) broadcast(texts0)
+      else texts0.hint("SHUFFLE_HASH")
+    candidates
+      .join(texts.select(col("id").as("a"), col("norm").as("na"),
+        col("lc").as("lca")), Seq("a"))
+      .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+        col("lc").as("lcb")), Seq("b"))
+      .withColumn("score",
+        K.pairScoreMaxPre(col("na"), col("nb"), col("lca"), col("lcb"),
+          cfg.maxEditDistance, cfg.weights))
+      .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
+      .select(col("a").as("src"), col("b").as("dst"))
   }
 }
