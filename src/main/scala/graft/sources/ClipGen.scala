@@ -13,9 +13,11 @@ import graft.audio.Wav
   * (seeded sine+noise mixture + canonical transcript) and 0..maxDups
   * near-duplicates (the SAME waveform with a small perturbation that
   * keeps SNR >= 30 dB vs the original, and a transcript corrupted within
-  * DL <= maxEdits). Generation is distributed: the driver plans (seeded)
-  * cluster specs; waveform synthesis happens per-partition on executors —
-  * no driver-side audio buffers, so the same generator scales with rows.
+  * DL <= maxEdits). Generation is FULLY distributed: cluster ids come
+  * from `spark.range`, each cluster's specs and waveforms are derived
+  * per-partition on executors from a pure (seed, cluster-id) function —
+  * nothing ships from the driver, so the generator scales with rows and
+  * its output is independent of partitioning.
   */
 object ClipGen {
 
@@ -41,32 +43,6 @@ object ClipGen {
   )
 
   val sampleRates: Array[Int] = Array(16000, 22050, 44100)
-
-  /** Plan the clip specs (cheap, driver-side, seeded). */
-  def plan(seed: Long, nClusters: Int, maxDups: Int = 3,
-      maxEdits: Int = 2): Vector[ClipSpec] = {
-    val rng = new Random(seed)
-    val out = Vector.newBuilder[ClipSpec]
-    var i = 0L
-    for (c <- 0 until nClusters) {
-      // realistic speech clips: 1-30 s, transcript length proportional to
-      // duration (~2 words/second) — transcripts of 5-63 words, like real
-      // ASR output, so per-row sketch/verify work is meaningful
-      val durMs = 1000 + rng.nextInt(29000)
-      val canonical = SyntheticText.phrase(rng, 3 + durMs / 500)
-      val sr = sampleRates(rng.nextInt(sampleRates.length))
-      val clusterSeed = rng.nextLong()
-      out += ClipSpec(f"clip$i%08d", c.toLong, clusterSeed, 0, sr, durMs, canonical)
-      i += 1
-      val nDups = rng.nextInt(maxDups + 1)
-      for (d <- 1 to nDups) {
-        val t = SyntheticText.corrupt(rng, canonical, 1 + rng.nextInt(maxEdits))
-        out += ClipSpec(f"clip$i%08d", c.toLong, clusterSeed, d, sr, durMs, t)
-        i += 1
-      }
-    }
-    out.result()
-  }
 
   /** Synthesize the canonical waveform for a cluster seed: a mixture of
     * three seeded sinusoids plus low-level noise at ~0.5 full scale.
@@ -120,18 +96,43 @@ object ClipGen {
       "pcm_s16le", spec.transcript, spec.clusterId, spec.dupIndex == 0)
   }
 
-  /** Distributed clip table: specs parallelized, waveforms synthesized on
-    * executors. Includes ground-truth columns (cluster_id, is_canonical);
-    * select them away to get the exact input_hint shape.
+  /** Specs for ONE cluster, from a per-cluster seed — the distributed
+    * generation unit: no driver-side spec vector, no 100MB task
+    * serialization, and the output is independent of partitioning
+    * (each cluster's RNG is derived purely from (seed, cluster id)).
+    */
+  def clusterSpecs(seed: Long, c: Long, maxDups: Int = 3,
+      maxEdits: Int = 2): Seq[ClipSpec] = {
+    val rng = new Random(
+      graft.functions.FastHash.mix64(seed ^ (c * 0x9E3779B97F4A7C15L)))
+    val durMs = 1000 + rng.nextInt(29000)
+    val canonical = SyntheticText.phrase(rng, 3 + durMs / 500)
+    val sr = sampleRates(rng.nextInt(sampleRates.length))
+    val clusterSeed = rng.nextLong()
+    val nDups = rng.nextInt(maxDups + 1)
+    ClipSpec(f"clip${c}%08d_0", c, clusterSeed, 0, sr, durMs, canonical) +:
+      (1 to nDups).map { d =>
+        ClipSpec(f"clip${c}%08d_$d", c, clusterSeed, d, sr, durMs,
+          SyntheticText.corrupt(rng, canonical, 1 + rng.nextInt(maxEdits)))
+      }
+  }
+
+  /** Distributed clip table: cluster ids from `spark.range`, specs AND
+    * waveforms generated per-partition on executors — nothing but the
+    * (seed, nClusters) scalars ships from the driver, so generation
+    * scales with cores at any table size. Includes ground-truth columns
+    * (cluster_id, is_canonical); select them away for the exact
+    * input_hint shape.
     */
   def table(spark: SparkSession, seed: Long, nClusters: Int,
       maxDups: Int = 3, maxEdits: Int = 2,
       numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
-    val specs = plan(seed, nClusters, maxDups, maxEdits)
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    spark.sparkContext.parallelize(specs, parts).map(synthesize).toDF()
+    spark.range(0, nClusters, 1, parts)
+      .flatMap(c => clusterSpecs(seed, c, maxDups, maxEdits).map(synthesize))
+      .toDF()
   }
 
   /** Clip table WITHOUT waveform synthesis (bytes = null): the transcript
@@ -143,12 +144,12 @@ object ClipGen {
       maxDups: Int = 3, maxEdits: Int = 2,
       numPartitions: Int = 0): DataFrame = {
     import spark.implicits._
-    val specs = plan(seed, nClusters, maxDups, maxEdits)
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    spark.sparkContext.parallelize(specs, parts)
-      .map(s => Clip(s.clipId, null, s.srHz, s.durMs, "pcm_s16le",
-        s.transcript, s.clusterId, s.dupIndex == 0))
+    spark.range(0, nClusters, 1, parts)
+      .flatMap(c => clusterSpecs(seed, c, maxDups, maxEdits)
+        .map(s => Clip(s.clipId, null, s.srHz, s.durMs, "pcm_s16le",
+          s.transcript, s.clusterId, s.dupIndex == 0)))
       .toDF()
   }
 }

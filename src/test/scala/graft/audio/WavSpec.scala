@@ -25,8 +25,8 @@ class WavSpec extends AnyFunSuite {
   }
 
   test("clip generation is deterministic and invariant-compliant") {
-    val a = ClipGen.plan(42L, 10)
-    val b = ClipGen.plan(42L, 10)
+    val a = (0L until 10L).flatMap(c => ClipGen.clusterSpecs(42L, c))
+    val b = (0L until 10L).flatMap(c => ClipGen.clusterSpecs(42L, c))
     assert(a == b)
     val clips = a.map(ClipGen.synthesize)
     assert(clips.map(_.clip_id).distinct.size == clips.size)
