@@ -44,6 +44,16 @@ object Queries {
   // canonical cleaned text key shared by the dedup queries
   private def cleanK(len: Int): Column =
     substring(T.cleanText(col("text")), 1, len)
+
+  /** Fan out the STREAMED side of a broadcast self-join: the sf tables
+    * are single parquet splits, so without this the whole pair expansion
+    * (5k rows -> ~1M pairs) runs in one task until the first exchange —
+    * measured as the entire cost of the self-join queries. At production
+    * scale the scan has many splits and this is a no-op in spirit; here
+    * it is the difference between 1 and all cores doing the verify.
+    */
+  private def fanout(df: org.apache.spark.sql.DataFrame) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
   private val cleanSql = "regexp_replace(lower(text),'[^a-z]','','g')"
 
   // DuckDB class-index CASE for the 27-class test alphabet
@@ -95,7 +105,7 @@ object Queries {
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), cleanK(16).as("k"), col("source"))
-        t.as("a").join(t.as("b"),
+        fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -114,7 +124,7 @@ object Queries {
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), cleanK(16).as("k"), col("source"))
-        t.as("a").join(t.as("b"),
+        fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -253,7 +263,7 @@ object Queries {
           array_distinct(
             T.charShingles(substring(T.cleanText(col("text")), 1, 32), 3))
             .as("sh"))
-        t.as("a").join(t.as("b"),
+        fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -294,7 +304,7 @@ object Queries {
           .select(col("doc_id").as("a_id"),
             substring(col("k"), 1, 24).as("p"),
             substring(col("k"), 1, 12).as("g"))
-        val hosts = t.select(col("doc_id").as("b_id"), col("k"),
+        val hosts = fanout(t).select(col("doc_id").as("b_id"), col("k"),
             explode(transform(
               sequence(lit(1), greatest(length(col("k")) - 11, lit(1))),
               i => col("k").substr(i, lit(12)))).as("g"))
@@ -515,7 +525,7 @@ object Queries {
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), cleanK(16).as("k"), col("source"))
-        val scored = t.as("a").join(t.as("b"),
+        val scored = fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(col("a.doc_id").as("q_id"), col("b.doc_id").as("m_id"),
@@ -551,7 +561,7 @@ object Queries {
       (s, d) => {
         val t = Tables.documents(s, d)
           .select(col("doc_id"), cleanK(12).as("k"), col("source"))
-        val scored = t.as("a").join(t.as("b"),
+        val scored = fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") =!= col("b.doc_id"))
           .select(col("a.doc_id").as("q_id"), col("b.doc_id").as("m_id"),
