@@ -64,7 +64,8 @@ object ConnectedComponents {
       dstCol: String = "dst",
       maxIterations: Int = 50,
       withAllNodes: Boolean = true,
-      localKernelMaxEdges: Long = defaultLocalKernelMaxEdges
+      localKernelMaxEdges: Long = defaultLocalKernelMaxEdges,
+      resumeKey: Option[String] = None
   ): Checkpoints.Cut = {
 
     def orient(df: DataFrame): DataFrame =
@@ -149,6 +150,22 @@ object ConnectedComponents {
       return Checkpoints.cut(pairs)
     }
 
+    // Mid-loop resume (reliable mode + resumeKey): each round's edge set
+    // lands as parquet under <checkpointDir>/cc-<key>/round-N before the
+    // loop advances; a driver restart with the same key seeds the loop
+    // from the highest complete round instead of round 1 — a 10^12-row
+    // CC that dies in round 7 of 9 replays 2 rounds, not 9. (Executor
+    // loss WITHIN a run is already covered by the reliable checkpoint
+    // itself; this covers whole-driver restarts.)
+    val roundDir: Option[String] = resumeKey.flatMap(key =>
+      spark.conf.getOption("spark.graft.checkpointDir")
+        .map(d => s"$d/cc-$key"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def roundPath(i: Int) = s"${roundDir.get}/round-$i"
+    def roundComplete(i: Int): Boolean = roundDir.isDefined &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"${roundPath(i)}/_SUCCESS"))
+
     // Round 1 consumes the input edges directly (lazily oriented: callers
     // hand a checkpointed edge table, and re-running a narrow orient per
     // read is cheaper than a dedicated distinct+materialize init pass).
@@ -158,6 +175,15 @@ object ConnectedComponents {
     var e: Checkpoints.Cut = null
     var prevChecksum: Option[(Long, Long)] = None
     var iteration = 0
+    if (roundDir.isDefined) {
+      while (roundComplete(iteration + 1)) iteration += 1
+      if (iteration > 0) {
+        e = Checkpoints.cut(spark.read.parquet(roundPath(iteration)))
+        prevChecksum = Some(checksum(e.df))
+        if (timing) System.err.println(
+          s"[cc-round] resumed from persisted round $iteration")
+      }
+    }
     var converged = false
     while (!converged && iteration < maxIterations) {
       val tRound = System.nanoTime()
@@ -177,6 +203,8 @@ object ConnectedComponents {
       if (e != null) e.release()
       e = next
       iteration += 1
+      if (roundDir.isDefined && !roundComplete(iteration))
+        next.df.write.mode("overwrite").parquet(roundPath(iteration))
       if (timing) System.err.println(
         f"[cc-round] $iteration edges=${nextChecksum._1} " +
           f"${(System.nanoTime() - tRound) / 1e9}%.2fs")

@@ -39,6 +39,33 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("loop path resumes MID-LOOP from persisted rounds") {
+    // driver-restart story: run the loop with a resume key but stop after
+    // one round (simulated crash), then run again — the second run must
+    // seed from the persisted round instead of recomputing it, and still
+    // converge to the right answer
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccr").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val edges = (0 until 63).map(i => (i.toLong, (i + 1).toLong))
+        .toDF("src", "dst")
+      // "crashed" run: only round 1 completes
+      ConnectedComponents.runCut(spark, edges, localKernelMaxEdges = 0L,
+        maxIterations = 1, resumeKey = Some("t1")).release()
+      val round1 = new java.io.File(s"$dir/cc-t1/round-1")
+      assert(round1.exists(), "round-1 not persisted")
+      val mtime = round1.listFiles().map(_.lastModified()).max
+      Thread.sleep(1100)
+      // resumed run: completes from round 1
+      val got = ConnectedComponents.runCut(spark, edges,
+        localKernelMaxEdges = 0L, resumeKey = Some("t1"))
+        .df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 64 && got.values.forall(_ == 0L))
+      val mtime2 = round1.listFiles().map(_.lastModified()).max
+      assert(mtime2 == mtime, "round-1 was recomputed on resume")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("loop path resumes from a reliable checkpoint dir") {
     // reliable-checkpoint mode (spark.graft.checkpointDir): each round's
     // edges land on the fault-tolerant FS instead of executor storage, so
