@@ -731,6 +731,101 @@ object Queries {
         "SELECT event_id, user_id, row_number() OVER " +
           "(PARTITION BY user_id ORDER BY ts, event_id) rn FROM events"
       )
+    ),
+
+    // --- Clustering: connected components over verified similarity
+    //     edges — the dedup pipeline's final stage ([[graft.operators
+    //     .ConnectedComponents]], cluster_id = min reachable node id),
+    //     oracle-checked against a DuckDB RECURSIVE-CTE transitive
+    //     closure over the identical edge set. Edges reuse the
+    //     p05-style per-source blocking (see BLOCKING CONTRACT above);
+    //     short keys + distance 4 yield multi-hop chains (~110
+    //     non-trivial clusters up to size 7 at sf0.01), so label
+    //     propagation across rounds is genuinely exercised. ---
+    "dedup_cc_clusters" -> Q(
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), cleanK(8).as("k"), col("source"))
+        val e = fanout(t.as("a")).join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              levenshtein(col("a.k"), col("b.k")) <= 4)
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        val cc = graft.operators.ConnectedComponents.run(s, e)
+        t.select(col("doc_id"))
+          .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      },
+      Some(
+        "WITH RECURSIVE " +
+          s"t AS (SELECT doc_id, substr($cleanSql,1,8) k, source FROM documents), " +
+          "e AS (SELECT a.doc_id x, b.doc_id y FROM t a JOIN t b " +
+          "ON a.source=b.source AND a.doc_id < b.doc_id AND levenshtein(a.k,b.k) <= 4), " +
+          "es AS (SELECT x, y FROM e UNION SELECT y, x FROM e), " +
+          "reach(x, y) AS (SELECT doc_id, doc_id FROM t UNION " +
+          "SELECT r.x, es.y FROM reach r JOIN es ON r.y = es.x) " +
+          "SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x"
+      )
+    ),
+
+    // --- Embeddings: IVF approximate nearest neighbor (the scale path
+    //     beyond sign-LSH): coarse-quantize every vector to its nearest
+    //     centroid (deterministic centroid set: vec_id % 50 == 0;
+    //     argmax via map-side-combinable max_by aggregation, NOT a
+    //     window — the all-vectors assignment never single-partitions),
+    //     then probe only the query's top-2 cells. Broadcast centroids
+    //     keep assignment shuffle-free up to ~10^5 cells. ---
+    "emb_ann_ivf" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("emb"))
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+        val cellCos = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("emb"), col("c_id"),
+            round(T.cosine(col("emb"), col("c_emb")), 6).as("ccos"))
+        // nearest cell per vector: highest cos, ties -> lowest c_id
+        val asgn = cellCos.groupBy(col("vec_id"))
+          .agg(
+            max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
+            first(col("emb")).as("emb"))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("c_id"))
+        val probes = cellCos.filter(col("vec_id") % 100 === 0)
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("c_id"))
+        val scored = probes.join(asgn, Seq("c_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(T.cosine(col("q_emb"), col("emb")), 6).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("q_id"), col("n_id"), col("cos"))
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) emb " +
+          "FROM embeddings), " +
+          "c AS (SELECT vec_id c_id, emb c_emb FROM e WHERE vec_id % 50 = 0), " +
+          "asgn AS (SELECT vec_id, emb, c_id FROM (" +
+          "SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (" +
+          "PARTITION BY e.vec_id ORDER BY " +
+          "round(list_cosine_similarity(e.emb, c.c_emb),6) DESC, c.c_id) rn " +
+          "FROM e CROSS JOIN c) WHERE rn = 1), " +
+          "probes AS (SELECT vec_id q_id, emb q_emb, c_id FROM (" +
+          "SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (" +
+          "PARTITION BY e.vec_id ORDER BY " +
+          "round(list_cosine_similarity(e.emb, c.c_emb),6) DESC, c.c_id) rn " +
+          "FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0) WHERE rn <= 2), " +
+          "scored AS (SELECT p.q_id, a.vec_id n_id, " +
+          "round(list_cosine_similarity(p.q_emb, a.emb),6) cos " +
+          "FROM probes p JOIN asgn a ON a.c_id = p.c_id AND a.vec_id <> p.q_id) " +
+          "SELECT q_id, n_id, cos FROM (SELECT q_id, n_id, cos, " +
+          "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) rn " +
+          "FROM scored) WHERE rn <= 3"
+      )
     )
   )
 }

@@ -94,7 +94,7 @@ class MediaFeaturesSpec extends SparkSpecBase {
     assert(out("a").mean_luma >= 0.0 && out("a").mean_luma <= 1.0)
   }
 
-  test("video stub: frame-sample explode shape with bounded fanout") {
+  test("video fallback: unknown-codec bytes keep flowing, decoded=false") {
     val bytes = Array.tabulate(10000)(i => (i % 127).toByte)
     val df = Seq(
       ("v1", bytes, 2000L), // 2s -> capped at maxFrames
@@ -102,9 +102,48 @@ class MediaFeaturesSpec extends SparkSpecBase {
     ).toDF("video_id", "bytes", "dur_ms")
     val frames = MediaFeatures.videoFrameSample(df, maxFrames = 8).collect()
     val byId = frames.groupBy(_.video_id)
+    assert(frames.forall(!_.decoded))
     assert(byId("v1").length == 8)
     assert(byId("v2").length == 2)
     assert(byId("v1").map(_.ts_ms).toSeq == byId("v1").map(_.ts_ms).toSeq.sorted)
     assert(byId("v1").map(_.frame_phash).distinct.length > 1)
+  }
+
+  test("video: REAL y4m decode — sampled frames carry true luma phashes") {
+    import graft.video.Video
+    // 20 frames, 64x64: even frames bright-right split, odd frames flat
+    val lumaFrames = (0 until 20).map { f =>
+      if (f % 2 == 0)
+        Array.tabulate(64 * 64)(i => (if (i % 64 < 32) 0 else 255).toByte)
+      else Array.fill(64 * 64)(100.toByte)
+    }
+    val y4m = Video.Y4m.encodeMono(64, 64, 10, 1, lumaFrames)
+    val df = Seq(("vid", y4m, 2000L)).toDF("video_id", "bytes", "dur_ms")
+    val frames = MediaFeatures.videoFrameSample(df, maxFrames = 10).collect()
+      .sortBy(_.frame_index)
+    assert(frames.length == 10)
+    assert(frames.forall(_.decoded))
+    // sample of 10 from 20 = every 2nd source frame (0,2,4,..) — all are
+    // the split pattern whose average-hash sets exactly 32 bits
+    assert(frames.forall(f => java.lang.Long.bitCount(f.frame_phash) == 32))
+    // ts math: source frame 2f at 20 frames / 2000ms -> f*200ms
+    assert(frames.map(_.ts_ms).toSeq == (0 until 10).map(_ * 200L))
+  }
+
+  test("video: REAL avi/mjpeg decode through the JDK JPEG reader") {
+    import graft.video.Video
+    val split = Video.LumaFrame(64, 64,
+      Array.tabulate(64 * 64)(i => (if (i % 64 < 32) 0 else 255).toByte))
+    val flat = Video.LumaFrame(64, 64, Array.fill(64 * 64)(100.toByte))
+    val avi = Video.Avi.encodeMjpeg(64, 64, 25,
+      Seq(split, flat, split).map(Video.Avi.jpegOfLuma))
+    val df = Seq(("avi1", avi, 120L)).toDF("video_id", "bytes", "dur_ms")
+    val frames = MediaFeatures.videoFrameSample(df, maxFrames = 16).collect()
+      .sortBy(_.frame_index)
+    assert(frames.length == 3) // fewer real frames than maxFrames -> all
+    assert(frames.forall(_.decoded))
+    assert(java.lang.Long.bitCount(frames(0).frame_phash) == 32)
+    assert(frames(1).frame_phash == 0L) // flat frame: no above-mean cell
+    assert(frames(0).frame_phash == frames(2).frame_phash)
   }
 }
