@@ -38,6 +38,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
       // tmpfs shuffle dirs: local[N] benchmarking is otherwise bound on
       // the single VM disk (cluster equivalent: NVMe shuffle volumes)
       .config("spark.local.dir", "/dev/shm/spark-local")

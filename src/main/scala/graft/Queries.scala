@@ -348,7 +348,7 @@ object Queries {
         val scored = probes.join(e, Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            round(T.cosine(col("q_emb"), col("emb")), 6).as("cos"))
+            round(T.cosineIn(s)(col("q_emb"), col("emb")), 6).as("cos"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
@@ -444,7 +444,7 @@ object Queries {
           .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
         val scored = q.join(e, col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            round(T.cosine(col("q_emb"), col("emb")), 6).as("cos"))
+            round(T.cosineIn(s)(col("q_emb"), col("emb")), 6).as("cos"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
@@ -785,7 +785,7 @@ object Queries {
           .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
         val cellCos = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("emb"), col("c_id"),
-            round(T.cosine(col("emb"), col("c_emb")), 6).as("ccos"))
+            round(T.cosineIn(s)(col("emb"), col("c_emb")), 6).as("ccos"))
         // nearest cell per vector: highest cos, ties -> lowest c_id
         val asgn = cellCos.groupBy(col("vec_id"))
           .agg(
@@ -799,7 +799,7 @@ object Queries {
         val scored = probes.join(asgn, Seq("c_id"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            round(T.cosine(col("q_emb"), col("emb")), 6).as("cos"))
+            round(T.cosineIn(s)(col("q_emb"), col("emb")), 6).as("cos"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("n_id"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)

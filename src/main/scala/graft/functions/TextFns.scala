@@ -207,8 +207,11 @@ object TextFns {
       (acc, x) => (acc * 31L + x) % 2147483647L
     )
 
-  /** Cosine similarity between two float-array columns via a single
-    * zip_with + aggregate pass (codegen'd; no UDF).
+  /** Cosine similarity between two double-array columns via a single
+    * zip_with + aggregate pass — the engine-portable formulation (higher-
+    * order functions run INTERPRETED in Spark: three lambda dispatches
+    * per dimension; see [[graft.functions.CosineSim]] for the codegen
+    * path and [[cosineIn]] for the picker).
     */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, v) => s + v)
@@ -216,4 +219,15 @@ object TextFns {
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (s, v) => s + v))
     dot / (na * nb)
   }
+
+  /** Cosine similarity through the fastest formulation the session
+    * offers: the native codegen `cosine_sim` expression when
+    * [[graft.spark.GraftExtensions]] is installed (bit-identical IEEE
+    * operation order to the HOF form), else the interpreted HOF form —
+    * a query authored with this runs correctly in ANY session and fast
+    * in ours.
+    */
+  def cosineIn(s: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    if (s.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
+    else cosine(a, b)
 }

@@ -15,6 +15,7 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
     .getOrCreate()
 
   override def beforeAll(): Unit = {
