@@ -41,6 +41,7 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", GraftExtensions.name)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
