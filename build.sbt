@@ -38,4 +38,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // thrash (measured: candidates+verify scaled only 1.5x from 8->32
   // cores at -Xmx8g); leave ample headroom for the OS page cache.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

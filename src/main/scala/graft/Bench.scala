@@ -2,9 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{DedupConfig, DedupPipeline}
-import graft.sources.ClipGen
-
 /** Per-round benchmark (driver contract: ONE JSON line on stdout).
   *
   * Three parts:
@@ -13,38 +10,93 @@ import graft.sources.ClipGen
   *     components) over the deterministic synthetic clip table at THREE
   *     parallelism levels — local[N], local[4N] (N = cpus/32, i.e. 1 and
   *     4 on the 32-core sandbox: the "N and 4N executors" evidence of the
-  *     north rule) plus local[cpus] for peak throughput. Per BASELINE.md
-  *     protocol: per-session warmup at realistic size, two in-session
-  *     timed repeats, min taken (first-repeat JIT noise measured up to
-  *     2.7x; beyond ~8 local cores the VM's shared memory bandwidth, not
-  *     the plan, is the ceiling — which a real multi-executor cluster
-  *     does not share; see the BASELINE.md protocol note with per-stage
-  *     evidence).
+  *     north rule) plus local[cpus] for peak throughput.
   *  2. variant-matcher throughput at the same levels (broadcast-once
   *     steady state — directly comparable to the reference's published
   *     items/sec).
   *  3. the SparkEntry operator queries at the given sf dir, each forced
   *     end-to-end with a noop sink (count() would let Catalyst prune the
   *     very columns being benchmarked).
+  *
+  *  Isolation protocol (BASELINE.md): parts 1 and 2 each run in a FRESH
+  *  CHILD JVM per parallelism level — heap sized to the level (~4 GiB
+  *  per core, floor 8, cap 48: the same per-core sizing a real executor
+  *  JVM gets), so one level's GC geometry and block-manager state can't
+  *  bleed into another's measurement. In-JVM session-per-level was
+  *  measured swinging 2-3x rep-to-rep on identical deterministic work
+  *  (pure-CPU baselines flat, host steal ~0) — heap-size sensitivity at
+  *  48 GiB G1 was half of it. Each child takes adaptive repeats (min of
+  *  2-3, stop when the floor stabilizes within 10%) after a
+  *  realistic-size warmup; min is reported, all reps are echoed into the
+  *  JSON for noise transparency.
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
-      // tmpfs shuffle dirs: local[N] benchmarking is otherwise bound on
-      // the single VM disk (cluster equivalent: NVMe shuffle volumes)
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+  /** JVM flags inherited from this process that a child Spark JVM needs
+    * (the JDK17 --add-opens set and -D conf), plus a level-sized heap.
+    */
+  private def childJvmArgs(xmxGb: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < in.length) {
+      val a = in(i)
+      if (a == "--add-opens" && i + 1 < in.length) {
+        keep += a; keep += in(i + 1); i += 2
+      } else if (a.startsWith("--add-opens=") || a.startsWith("-D")) {
+        keep += a; i += 1
+      } else i += 1
+    }
+    keep.toSeq :+ s"-Xmx${xmxGb}g"
+  }
+
+  /** ~4 GiB per core like a production executor; floor 8 (Spark's own
+    * overheads), cap 48 (leave the 128 GiB box page-cache headroom).
+    */
+  private def heapGbFor(cpus: Int): Int =
+    math.min(48, math.max(8, cpus * 4))
+
+  /** Run a bench child JVM, return its RESULT line fields. Child stdout
+    * is consumed here (the parent's stdout must stay one JSON line);
+    * child stderr is drained to a buffer and replayed on failure.
+    */
+  private def runChild(mainClass: String, xmxGb: Int,
+      args: Seq[String]): Map[String, String] = {
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ childJvmArgs(xmxGb) ++
+      Seq("-cp", sys.props("java.class.path"), mainClass) ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    val p = pb.start()
+    val errBuf = new java.lang.StringBuilder
+    val errThread = new Thread(() => {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getErrorStream))
+      var line = r.readLine()
+      while (line != null) {
+        errBuf.append(line).append('\n')
+        line = r.readLine()
+      }
+    })
+    errThread.setDaemon(true)
+    errThread.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val rc = p.waitFor()
+    errThread.join(5000)
+    val result = out.linesIterator.find(_.startsWith("RESULT "))
+    if (rc != 0 || result.isEmpty) {
+      System.err.println(s"[bench-child] $mainClass ${args.mkString(" ")} " +
+        s"rc=$rc; stderr tail:\n" + errBuf.toString.takeRight(2000))
+      sys.error(s"bench child failed: $mainClass")
+    }
+    result.get.split(' ').drop(1).flatMap { tok =>
+      tok.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _           => None
+      }
+    }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -55,92 +107,48 @@ object Bench {
     // the plan — caps speedup (measured: 1->4 cores 0.85-0.99 efficiency,
     // 2->8 0.71-0.75, 8->32 ~0.6 on identical plans); a real cluster's N
     // executors don't share one memory bus, so the low-contention pair is
-    // the faithful stand-in. Peak throughput still reported at local[32].
+    // the faithful stand-in. Peak throughput still reported at local[cpus].
     val loCpus = math.max(1, cpus / 32) // N
     val hiCpus = loCpus * 4 // 4N
     val dedupClusters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "150000").toInt
 
-    def timedDedup(n: Int, withCpus: Int): (Double, Long) = {
-      val spark = session(withCpus)
-      try {
-        import org.apache.spark.sql.functions._
-        // warmup at realistic size (tiny warmups leave AQE on different
-        // plan shapes and the kernel half-JITted), then two timed repeats
-        val warm = ClipGen.transcriptTable(spark, seed = 1L,
-          nClusters = math.max(300, n / 8))
-          .select(xxhash64(col("clip_id")).as("id"), col("transcript"))
-        DedupPipeline.run(spark, warm, "id", "transcript", DedupConfig(),
-          collectMetrics = false)._1
-          .write.format("noop").mode("overwrite").save()
+    def dedupLevel(withCpus: Int): Map[String, String] =
+      runChild("graft.tools.DedupStageBench", heapGbFor(withCpus),
+        Seq(withCpus.toString, dedupClusters.toString))
 
-        val clips = ClipGen.transcriptTable(spark, seed = 42L, nClusters = n)
-          .select(xxhash64(col("clip_id")).as("id"), col("transcript"))
-          .cache()
-        val total = clips.count() // generation outside the timed window
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          val (assignments, _) = DedupPipeline.run(spark, clips, "id",
-            "transcript", DedupConfig(), collectMetrics = false)
-          assignments.write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        (times.min, total)
-      } finally spark.stop()
-    }
-
-    // variant-matcher query throughput against a large synthetic lexicon —
-    // directly comparable to the reference's published items/sec
-    // (BASELINE.md: 2500-3226 items/s at 8 threads on 120-220k lexicons)
-    def timedMatcher(withCpus: Int, lexSize: Int, nQueries: Int): (Double, Long) = {
-      val spark = session(withCpus)
-      try {
-        import spark.implicits._
-        import graft.kernel._
-        import graft.operators.VariantMatcher
-        val rng = new scala.util.Random(7L)
-        val lexicon = (0 until lexSize).map { _ =>
-          val len = 4 + rng.nextInt(9)
-          (String.valueOf(Array.fill(len)(('a' + rng.nextInt(26)).toChar)),
-            None: Option[Long])
-        }.distinct
-        val model = VariantMatcher.buildModel(Alphabet.simpleLatin, lexicon)
-        val queries = (0 until nQueries).map { i =>
-          graft.sources.SyntheticText.corrupt(rng, lexicon(rng.nextInt(lexicon.size))._1,
-            1 + (i % 2))
-        }
-        val qdf = queries.toDF("query").repartition(withCpus).cache()
-        qdf.count()
-        val params = SearchParameters()
-        // steady-state: the model is broadcast ONCE (as in production);
-        // a warmup batch pulls the broadcast, compiles codegen and JITs
-        // the kernel before the timed window
-        val matcher = VariantMatcher.broadcastMatcher(spark, model)
-        matcher(qdf.limit(5000), params)
-          .write.format("noop").mode("overwrite").save()
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          matcher(qdf, params)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        (times.min, nQueries.toLong)
-      } finally spark.stop()
-    }
-
-    val (tLo, nClips) = timedDedup(dedupClusters, loCpus)
-    val (tHi, _) = timedDedup(dedupClusters, hiCpus)
-    val (tPeak, _) =
-      if (cpus > hiCpus) timedDedup(dedupClusters, cpus) else (tHi, nClips)
+    val dLo = dedupLevel(loCpus)
+    val dHi = dedupLevel(hiCpus)
+    val dPeak = if (cpus > hiCpus) dedupLevel(cpus) else dHi
+    val nClips = dLo("clips").toLong
+    val tLo = dLo("min").toDouble
+    val tHi = dHi("min").toDouble
+    val tPeak = dPeak("min").toDouble
     val efficiency = (tLo / tHi) / (hiCpus.toDouble / loCpus)
 
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "150000").toInt
-    val (tmLo, nQ) = timedMatcher(loCpus, 120000, nQueries)
-    val (tmHi, _) = timedMatcher(hiCpus, 120000, nQueries)
+    def matcherLevel(withCpus: Int): Map[String, String] =
+      runChild("graft.tools.MatcherSparkBench", heapGbFor(withCpus),
+        Seq(withCpus.toString, "120000", nQueries.toString))
+    val mLo = matcherLevel(loCpus)
+    val mHi = matcherLevel(hiCpus)
+    val tmLo = mLo("min").toDouble
+    val tmHi = mHi("min").toDouble
     val mEfficiency = (tmLo / tmHi) / (hiCpus.toDouble / loCpus)
 
-    // operator queries, forced with a noop sink
-    val spark = session(cpus)
+    // operator queries, forced with a noop sink, in-process at local[cpus]
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-queries")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -163,18 +171,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = tPeak + results.values.sum
+    def repsArr(m: Map[String, String]): String =
+      "[" + m.getOrElse("reps", "") + "]"
     val dedupJson =
       f"""{"clips":$nClips,"lo_cores":$loCpus,"lo_sec":$tLo%.3f,""" +
         f""""lo_clips_per_sec":${nClips / tLo}%.1f,"hi_cores":$hiCpus,""" +
         f""""hi_sec":$tHi%.3f,"hi_clips_per_sec":${nClips / tHi}%.1f,""" +
         f""""peak_cores":$cpus,"peak_sec":$tPeak%.3f,""" +
         f""""peak_clips_per_sec":${nClips / tPeak}%.1f,""" +
-        f""""scaling_efficiency":$efficiency%.3f}"""
+        f""""scaling_efficiency":$efficiency%.3f,""" +
+        s""""lo_reps":${repsArr(dLo)},"hi_reps":${repsArr(dHi)},""" +
+        s""""peak_reps":${repsArr(dPeak)},""" +
+        s""""heap_gb":{"lo":${heapGbFor(loCpus)},"hi":${heapGbFor(hiCpus)},""" +
+        s""""peak":${heapGbFor(cpus)}}}"""
     val matcherJson =
-      f"""{"lexicon":120000,"queries":$nQ,"lo_cores":$loCpus,""" +
-        f""""lo_items_per_sec":${nQ / tmLo}%.1f,"hi_cores":$hiCpus,""" +
-        f""""hi_items_per_sec":${nQ / tmHi}%.1f,""" +
-        f""""scaling_efficiency":$mEfficiency%.3f}"""
+      f"""{"lexicon":120000,"queries":$nQueries,"lo_cores":$loCpus,""" +
+        f""""lo_items_per_sec":${nQueries / tmLo}%.1f,"hi_cores":$hiCpus,""" +
+        f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
+        f""""scaling_efficiency":$mEfficiency%.3f,""" +
+        s""""lo_reps":${repsArr(mLo)},"hi_reps":${repsArr(mHi)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"dedup":$dedupJson,"matcher":$matcherJson,""" +
       s""""guards":{"documents_max_source_group":$maxSourceGroup},""" +

@@ -29,7 +29,9 @@ object DedupStageBench {
       // warmup at a realistic size: tiny warmups leave AQE on different
       // plan shapes and the kernel half-JITted (first timed rep measured
       // 1.7-2.7x slower after a 300-cluster warmup)
-      val warm = ClipGen.transcriptTable(spark, 1L, 40000)
+      val warmClusters =
+        if (args.length > 2) args(2).toInt else math.max(300, n / 8)
+      val warm = ClipGen.transcriptTable(spark, 1L, warmClusters)
         .select(xxhash64(col("clip_id")).as("id"), col("transcript"))
       DedupPipeline.run(spark, warm, "id", "transcript", DedupConfig(),
         collectMetrics = false)._1
@@ -38,9 +40,17 @@ object DedupStageBench {
         .select(xxhash64(col("clip_id")).as("id"), col("transcript")).cache()
       val total = clips.count()
       val withMetrics = sys.env.contains("SPARK_GRAFT_STAGE_METRICS")
-      // two in-session timed repeats: the first still pays stray JIT /
-      // codegen compilation; the min is the steady-state number
-      val times = (1 to 2).map { rep =>
+      // adaptive timed repeats, min taken: at least 2; keep going (to a
+      // cap) only while a rep still improves the best by >10% — on a
+      // noisy host window the floor needs more samples, on a quiet one
+      // two suffice (rep-to-rep swings up to 3x measured on identical
+      // deterministic work while pure-CPU baselines stayed flat)
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var continue = true
+      while (continue) {
+        val rep = times.length + 1
+        val prevBest = if (times.isEmpty) Double.MaxValue else times.min
         val t0 = System.nanoTime()
         val (assignments, m) = DedupPipeline.run(spark, clips, "id",
           "transcript", DedupConfig(), collectMetrics = withMetrics)
@@ -48,10 +58,16 @@ object DedupStageBench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[dedup-phase] rep$rep $dt%.2fs clips=$total cpus=$cpus")
         if (withMetrics) System.err.println(s"[dedup-phase] $m")
-        dt
+        times += dt
+        continue = times.length < 2 ||
+          (times.length < maxReps && dt < prevBest * 0.90)
       }
       System.err.println(
         f"[dedup-phase] TOTAL ${times.min}%.2fs clips=$total cpus=$cpus")
+      // machine-readable line for the Bench orchestrator (child-JVM mode)
+      println(f"RESULT dedup min=${times.min}%.3f " +
+        s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
+        s"clips=$total cpus=$cpus")
     } finally spark.stop()
   }
 }

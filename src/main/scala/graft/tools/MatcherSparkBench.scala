@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.kernel.{Alphabet, SearchParameters}
+import graft.operators.VariantMatcher
+
+/** Spark variant-matcher throughput at one parallelism level — the
+  * child-JVM worker of graft.Bench's matcher phase (broadcast-once
+  * steady state, directly comparable to the reference's published
+  * items/sec). Adaptive timed repeats as in DedupStageBench; emits a
+  * machine-readable RESULT line on stdout.
+  *
+  * Usage: runMain graft.tools.MatcherSparkBench <cpus> <lexSize> <nQueries>
+  */
+object MatcherSparkBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val lexSize = if (args.length > 1) args(1).toInt else 120000
+    val nQueries = if (args.length > 2) args(2).toInt else 150000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-matcher-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import spark.implicits._
+      val rng = new scala.util.Random(7L)
+      val lexicon = (0 until lexSize).map { _ =>
+        val len = 4 + rng.nextInt(9)
+        (String.valueOf(Array.fill(len)(('a' + rng.nextInt(26)).toChar)),
+          None: Option[Long])
+      }.distinct
+      val model = VariantMatcher.buildModel(Alphabet.simpleLatin, lexicon)
+      val queries = (0 until nQueries).map { i =>
+        graft.sources.SyntheticText.corrupt(rng,
+          lexicon(rng.nextInt(lexicon.size))._1, 1 + (i % 2))
+      }
+      val qdf = queries.toDF("query").repartition(cpus).cache()
+      qdf.count()
+      val params = SearchParameters()
+      // steady state: model broadcast ONCE (as in production); a warmup
+      // batch pulls the broadcast, compiles codegen and JITs the kernel
+      val matcher = VariantMatcher.broadcastMatcher(spark, model)
+      matcher(qdf.limit(5000), params)
+        .write.format("noop").mode("overwrite").save()
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var continue = true
+      while (continue) {
+        val prevBest = if (times.isEmpty) Double.MaxValue else times.min
+        val t0 = System.nanoTime()
+        matcher(qdf, params).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[matcher-phase] rep${times.length + 1} $dt%.2fs cpus=$cpus")
+        times += dt
+        continue = times.length < 2 ||
+          (times.length < maxReps && dt < prevBest * 0.90)
+      }
+      println(f"RESULT matcher min=${times.min}%.3f " +
+        s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
+        s"queries=$nQueries cpus=$cpus")
+    } finally spark.stop()
+  }
+}
