@@ -149,11 +149,17 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // min of two runs per query: host-window noise measured inflating a
+    // trivial group-by from 0.9s to 13s — a single sample can misread an
+    // entire sweep
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // guard metric for the per-source self-join queries (p05/p06/
     // dedup_jaccard/r4/r6): their pinned oracle semantics block on
