@@ -769,6 +769,58 @@ object Queries {
       )
     ),
 
+    // --- Dedup END-TO-END at query level: the pipeline's full shape —
+    //     minhash sig -> LSH band buckets (capped) -> candidate pairs ->
+    //     edit-distance verify -> connected components — with every
+    //     stage oracle-portable, so the WHOLE dedup dataflow is checked
+    //     against an independent engine (DuckDB md5 minhash + levenshtein
+    //     + RECURSIVE-CTE closure), not just its stages in isolation.
+    //     (The production path swaps the portable md5 for FastHash and
+    //     the SQL levenshtein for the analiticcl kernel — same shape,
+    //     pinned by DedupPipelineSpec recall tests.) ---
+    "dedup_e2e_clusters" -> Q(
+      (s, d) => {
+        val pairs = all("dedup_lsh_pairs").fn(s, d) // (a_id, b_id), capped buckets
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), cleanK(64).as("k"))
+        val edges = pairs
+          .join(t.select(col("doc_id").as("a_id"), col("k").as("ka")), Seq("a_id"))
+          .join(t.select(col("doc_id").as("b_id"), col("k").as("kb")), Seq("b_id"))
+          .filter(levenshtein(col("ka"), col("kb")) <= 6)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val cc = graft.operators.ConnectedComponents.run(s, edges)
+        t.select(col("doc_id"))
+          .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      },
+      Some {
+        val mins = (0 until 12).map(i =>
+          s"list_min(list_transform(sh, x -> ('0x'||substr(md5('$i:'||x),1,15))::BIGINT))")
+          .mkString(", ")
+        val slices = (0 until 4).map(b =>
+          s"array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], '_') b$b").mkString(", ")
+        val probeRows = (0 until 4).map(b => s"SELECT doc_id, $b band, b$b bkey FROM bb")
+          .mkString(" UNION ALL ")
+        "WITH RECURSIVE " +
+          s"t AS (SELECT doc_id, substr($cleanSql,1,64) k FROM documents), " +
+          "s AS (SELECT doc_id, list_transform(range(1, greatest(length(k)-2,1)+1), " +
+          "i -> substr(k,i,3)) sh FROM t), " +
+          s"g AS (SELECT doc_id, [$mins] sig FROM s), " +
+          s"bb AS (SELECT doc_id, $slices FROM g), " +
+          "probes AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bkey) n " +
+          s"FROM ($probeRows)) WHERE n <= 32), " +
+          "pairs AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM probes x " +
+          "JOIN probes y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+          "e AS (SELECT a_id x, b_id y FROM pairs p JOIN t ta ON ta.doc_id = p.a_id " +
+          "JOIN t tb ON tb.doc_id = p.b_id WHERE levenshtein(ta.k, tb.k) <= 6), " +
+          "es AS (SELECT x, y FROM e UNION SELECT y, x FROM e), " +
+          "reach(x, y) AS (SELECT doc_id, doc_id FROM t UNION " +
+          "SELECT r.x, es.y FROM reach r JOIN es ON r.y = es.x) " +
+          "SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x"
+      }
+    ),
+
     // --- Embeddings: IVF approximate nearest neighbor (the scale path
     //     beyond sign-LSH): coarse-quantize every vector to its nearest
     //     centroid (deterministic centroid set: vec_id % 50 == 0;
