@@ -63,12 +63,14 @@ object Bench {
     * child stderr is drained to a buffer and replayed on failure.
     */
   private def runChild(mainClass: String, xmxGb: Int,
-      args: Seq[String]): Map[String, String] = {
+      args: Seq[String], maxReps: Int = 3,
+      attempt: Int = 1): Map[String, String] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     val cmd = Seq(javaBin) ++ childJvmArgs(xmxGb) ++
       Seq("-cp", sys.props("java.class.path"), mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_BENCH_REPS", maxReps.toString)
     val p = pb.start()
     val errBuf = new java.lang.StringBuilder
     val errThread = new Thread(() => {
@@ -88,7 +90,11 @@ object Bench {
     val result = out.linesIterator.find(_.startsWith("RESULT "))
     if (rc != 0 || result.isEmpty) {
       System.err.println(s"[bench-child] $mainClass ${args.mkString(" ")} " +
-        s"rc=$rc; stderr tail:\n" + errBuf.toString.takeRight(2000))
+        s"rc=$rc attempt=$attempt; stderr tail:\n" +
+        errBuf.toString.takeRight(2000))
+      // one retry: a transient child failure must not zero the round's
+      // whole benchmark artifact
+      if (attempt < 2) return runChild(mainClass, xmxGb, args, maxReps, 2)
       sys.error(s"bench child failed: $mainClass")
     }
     result.get.split(' ').drop(1).flatMap { tok =>
@@ -113,9 +119,13 @@ object Bench {
     val dedupClusters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "150000").toInt
 
+    // reps per level: the 1-core floor is historically stable (~15%
+    // spread) and each rep costs ~4 min — 2 suffice; the multi-core
+    // levels are the noisy, cheap ones — give them a 3rd sample
     def dedupLevel(withCpus: Int): Map[String, String] =
       runChild("graft.tools.DedupStageBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, dedupClusters.toString))
+        Seq(withCpus.toString, dedupClusters.toString),
+        maxReps = if (withCpus == loCpus) 2 else 3)
 
     val dLo = dedupLevel(loCpus)
     val dHi = dedupLevel(hiCpus)
@@ -129,7 +139,8 @@ object Bench {
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "150000").toInt
     def matcherLevel(withCpus: Int): Map[String, String] =
       runChild("graft.tools.MatcherSparkBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, "120000", nQueries.toString))
+        Seq(withCpus.toString, "120000", nQueries.toString),
+        maxReps = if (withCpus == loCpus) 2 else 3)
     val mLo = matcherLevel(loCpus)
     val mHi = matcherLevel(hiCpus)
     val tmLo = mLo("min").toDouble
