@@ -254,6 +254,38 @@ object Queries {
       }
     ),
 
+    // --- Dedup: portable SimHash-32 (3-shingles) + the pigeonhole chunk
+    //     keys of the near-exact candidate path (Hamming <= 3 pairs share
+    //     >= 1 of the 4 exact 8-bit chunks). Computed by a JVM md5 kernel
+    //     bit-identical to the HOF form the oracle states. ---
+    "dedup_simhash" -> Q(
+      (s, d) => {
+        val sim = Tables.documents(s, d)
+          .select(col("doc_id"),
+            T.simhashPortableJvm(
+              substring(T.cleanText(col("text")), 1, 64), 3, 32).as("simhash"))
+        (0 until 4).foldLeft(sim) { (df, b) =>
+          df.withColumn(s"chunk$b",
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)))
+        }
+      },
+      Some {
+        val chunks = (0 until 4)
+          .map(b => s"CAST((simhash >> ${b * 8}) & 255 AS BIGINT) AS chunk$b")
+          .mkString(", ")
+        s"WITH t AS (SELECT doc_id, substr($cleanSql,1,64) k FROM documents), " +
+          "s AS (SELECT doc_id, list_transform(range(1, greatest(length(k)-2,1)+1), " +
+          "i -> substr(k,i,3)) sh FROM t), " +
+          "h AS (SELECT doc_id, list_transform(sh, x -> " +
+          "('0x'||substr(md5(x),1,15))::BIGINT) hs FROM s), " +
+          "g AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,32), b -> " +
+          "CASE WHEN list_sum(list_transform(hs, v -> " +
+          "CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+          "THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash FROM h) " +
+          s"SELECT doc_id, simhash, $chunks FROM g"
+      }
+    ),
+
     // --- Dedup: n-gram Jaccard similarity over blocked candidate pairs
     //     (3-shingle sets; |A∩B| / |A∪B| by inclusion-exclusion, so both
     //     engines divide the same exact integers) ---

@@ -148,6 +148,46 @@ object TextFns {
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Bit-identical JVM implementation of
+    * `simhashFromHashes(transform(charShingles(c, n), md5Hash60), nBits)`:
+    * unseeded md5-60-bit hash per shingle occurrence, then per-bit sign
+    * votes over the low `nBits` bits. Same longs as the interpreted-HOF
+    * form (oracle-portable: DuckDB computes the identical md5/shift/vote
+    * math over lists), at JVM hash speed — one MessageDigest pass per
+    * shingle instead of nBits interpreted aggregate() lambdas per row.
+    */
+  def simhashPortableJvm(c: Column, n: Int, nBits: Int): Column = {
+    val f = udf { (s: String) =>
+      Option(s).map { x =>
+        val md = TextFns.md5Local.get()
+        val nSh = math.max(x.length - (n - 1), 1)
+        val votes = new Array[Int](nBits)
+        var i = 0
+        while (i < nSh) {
+          val sh = x.substring(i, math.min(i + n, x.length))
+          md.reset()
+          val h = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex digits of md5 = top 60 bits of the first 8 bytes
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+          v = v >>> 4
+          b = 0
+          while (b < nBits) {
+            if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+          i += 1
+        }
+        var out = 0L
+        var b = 0
+        while (b < nBits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    }
+    f(c)
+  }
+
   /** Hamming distance between two packed-64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
