@@ -10,10 +10,10 @@ import graft.kernel.Alphabet
 /** Resumable, checkpointed clip-dedup job over the input_hint table
   * (clip_id, bytes, sr_hz, dur_ms, codec, transcript).
   *
-  * Each stage writes its output to `<workDir>/<stage>` (parquet with
-  * _SUCCESS markers — the sandbox stand-in for Iceberg snapshot commits;
-  * in production each stage is an Iceberg table and resume reads the last
-  * committed snapshot). Resume = rerun the job with the same workDir:
+  * Each stage commits its output through a [[StageStore]] — the explicit
+  * Iceberg seam: production swaps in an Iceberg-backed store (snapshot
+  * commits), the sandbox uses [[ParquetStageStore]] (parquet + _SUCCESS,
+  * same commit-visibility contract). Resume = rerun the job with the same workDir:
   * completed stages are read back, not recomputed. A per-stage,
   * per-partition lineage row (stage, partition, rows) plus stage wall
   * times land in `<workDir>/metrics`.
@@ -27,14 +27,10 @@ object ClipDedup {
   final case class StageResult(name: String, seconds: Double, rows: Long,
       resumed: Boolean)
 
-  final class Runner(spark: SparkSession, workDir: String) {
-    private val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+  final class Runner(spark: SparkSession, store: StageStore) {
+    def this(spark: SparkSession, workDir: String) =
+      this(spark, new ParquetStageStore(spark, workDir))
     val stageLog = scala.collection.mutable.ArrayBuffer.empty[StageResult]
-
-    private def path(name: String) = s"$workDir/$name"
-    private def done(name: String): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(s"${path(name)}/_SUCCESS"))
 
     /** Run-or-resume one stage; always returns the materialized output.
       * A resumed stage is only trusted when its stored schema matches the
@@ -46,22 +42,21 @@ object ClipDedup {
       */
     def stage(name: String, expect: Seq[String])(f: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      var resumed = done(name)
-      if (resumed &&
-          spark.read.parquet(path(name)).columns.toSeq != expect) {
+      var resumed = store.exists(name)
+      if (resumed && store.read(name).columns.toSeq != expect) {
         System.err.println(s"[clipdedup] stage $name: stored schema differs " +
           "from current plan (older code/config version) — recomputing")
         resumed = false
       }
-      if (!resumed) f.write.mode("overwrite").parquet(path(name))
-      val out = spark.read.parquet(path(name))
+      if (!resumed) store.write(name, f)
+      val out = store.read(name)
       val rows = out.count()
       stageLog += StageResult(name, (System.nanoTime() - t0) / 1e9, rows, resumed)
       // per-partition lineage row (partition id -> row count) per stage
-      out.groupBy(spark_partition_id().as("partition"))
-        .agg(count(lit(1)).as("rows"))
-        .withColumn("stage", lit(name))
-        .write.mode("append").parquet(s"$workDir/metrics")
+      store.appendMetrics(
+        out.groupBy(spark_partition_id().as("partition"))
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("stage", lit(name)))
       out
     }
   }
