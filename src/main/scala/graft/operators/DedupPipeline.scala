@@ -302,15 +302,38 @@ object DedupPipeline {
   def candidatePairs(base: DataFrame, cfg: DedupConfig): DataFrame =
     pairsFromKeys(candidateKeys(base, cfg), cfg)
 
-  /** Substring-containment pass (the suffix-array role done
+  /** Per-host containment verification: one pass decides ALL of a host's
+    * candidate probes. When the anchor join has funneled enough probes
+    * onto a long host, build the host's suffix array once and binary-
+    * search each probe (O(build + Σ|probe|·log|host|)); below the
+    * crossover a direct scan per probe is cheaper. Returns the matched
+    * probe ids.
+    */
+  private val verifyProbesInHost =
+    udf { (host: String, ps: Seq[org.apache.spark.sql.Row]) =>
+      if (ps.length >= 4 && host.length >= 64) {
+        val sa = graft.kernel.SuffixArrays.build(host)
+        ps.collect {
+          case r if graft.kernel.SuffixArrays.containsSub(host, sa, r.getString(1)) =>
+            r.getLong(0)
+        }
+      } else ps.collect {
+        case r if host.contains(r.getString(1)) => r.getLong(0)
+      }
+    }
+
+  /** Substring-containment pass (the suffix-array pass, anchored
     * Spark-native): if norm(A) ⊆ norm(B) then every shingle of A is a
     * shingle of B, so anchoring A on its MINIMUM shingle hash and
     * exploding B by ALL its distinct shingle hashes meets every
-    * containment pair on an equi-join key — no suffix array, no cross
-    * join; host fanout is bounded by the normalized length (short
-    * transcripts). Verification is exact (`instr`), so these become
-    * edges directly, bypassing the DL kernel which would reject large
-    * length gaps.
+    * containment pair on an equi-join key — no cross join; host fanout
+    * is bounded by the normalized length (short transcripts).
+    * Verification is exact and grouped per host: each host verifies all
+    * its probes in one kernel call ([[verifyProbesInHost]] — suffix
+    * array past the cost crossover, direct scan below it), so these
+    * become edges directly, bypassing the DL kernel which would reject
+    * large length gaps. The per-host group is bounded: a host meets at
+    * most bucketCap probes per distinct shingle.
     */
   def containmentEdges(base: DataFrame, cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -328,8 +351,11 @@ object DedupPipeline {
       .filter(col("bucket_n") <= cfg.bucketCap)
       .drop("bucket_n")
     probes.join(hosts, Seq("akey"))
-      .filter(col("alen") < col("blen") &&
-        instr(col("bnorm"), col("anorm")) >= 1)
+      .filter(col("alen") < col("blen"))
+      .groupBy(col("b"), col("bnorm"))
+      .agg(collect_list(struct(col("a"), col("anorm"))).as("ps"))
+      .select(col("b"),
+        explode(verifyProbesInHost(col("bnorm"), col("ps"))).as("a"))
       .select(least(col("a"), col("b")).as("src"),
         greatest(col("a"), col("b")).as("dst"))
       .distinct()

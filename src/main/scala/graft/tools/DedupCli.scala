@@ -11,6 +11,7 @@ import graft.spark.Sessions
   * instead of the synthetic generator).
   *
   * Usage: runMain graft.tools.DedupCli <nClusters> <workDir> [cpus]
+  *        [substringMinLen]  (0 = containment pass off, default)
   *
   * Synthesizes the deterministic clip table (schema = BASELINE.json
   * input_hint), runs the resumable checkpointed pipeline, prints stage
@@ -37,8 +38,10 @@ object DedupCli {
       "codec", "transcript") // exact input_hint shape
     val nClips = clips.count()
 
+    val subMinLen = if (args.length > 3) args(3).toInt else 0
     val (assignments, stages) =
-      ClipDedup.run(spark, clips, workDir, DedupConfig())
+      ClipDedup.run(spark, clips, workDir,
+        DedupConfig(substringMinLen = subMinLen))
     val wall = (System.nanoTime() - t0) / 1e9
 
     stages.foreach { s =>

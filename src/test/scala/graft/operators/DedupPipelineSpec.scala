@@ -156,6 +156,42 @@ class DedupPipelineSpec extends SparkSpecBase {
     assert(on(4L) != on(1L))
   }
 
+  test("suffix-array host verification agrees with a naive instr computation") {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // hosts > 64 chars with >= 4 probes each trigger the suffix-array
+    // branch of the per-host verifier; shorter/lighter groups take the
+    // direct-scan branch — both must equal the naive per-pair answer
+    val hostA = "the quick brown fox jumps over the lazy dog while " +
+      "the band plays a slow waltz in the harbor tonight"
+    val hostB = "ships and harbors and lighthouses mark the northern " +
+      "coastline where fishermen mend their nets at dawn"
+    val probesA = Seq("quick brown fox", "lazy dog while", "slow waltz in the",
+      "harbor tonight", "band plays")
+    val probesB = Seq("lighthouses mark", "northern coastline",
+      "mend their nets", "fishermen")
+    val decoys = Seq("completely unrelated phrase one",
+      "another absent probe text")
+    val docs = ((hostA +: probesA) ++ (hostB +: probesB) ++ decoys)
+      .zipWithIndex.map { case (t, i) => (i.toLong + 1L, t) }.toDF("id", "text")
+    val cfg2 = DedupConfig(substringMinLen = 6)
+    val K = new graft.functions.Kernels(Alphabet.test)
+    val base = DedupPipeline.sketchBase(
+      docs.select(col("id"), col("text"))
+        .withColumn("norm", K.normKey(col("text")))
+        .withColumn("nh", xxhash64(col("norm"))), cfg2, K)
+    val got = DedupPipeline.containmentEdges(base, cfg2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive oracle over the normalized texts
+    val norms = base.select("id", "norm").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val want = (for {
+      (a, na) <- norms; (b, nb) <- norms
+      if a != b && na.length >= 6 && na.length < nb.length && nb.contains(na)
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(want.nonEmpty && want.size >= 9, s"fixture too weak: $want")
+    assert(got == want)
+  }
+
   test("agrees with the reference-semantics matcher's cluster assignment") {
     // reference path: match every doc against the canonical lexicon with
     // the LocalVariantModel (pinned to the reference's unit tests);
