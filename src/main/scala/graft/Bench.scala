@@ -185,6 +185,16 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // sweep warmup: whichever query runs first in a cold JVM eats the
+    // codegen-compile + JIT cost of every shared path (measured: the
+    // same query 13.4s as the sweep opener vs 2.8s after two cheap
+    // openers). Warm the narrow-map, shuffle-agg, interpreted-HOF and
+    // self-join paths once, untimed, so the timed mins measure plans,
+    // not first-touch compilation.
+    for (w <- Seq("p01_normalize", "q1_agg", "text_fingerprint",
+        "p05_levenshtein_pairs"); fn <- SparkEntry.queries.get(w))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     // min of two runs per query: host-window noise measured inflating a
     // trivial group-by from 0.9s to 13s — a single sample can misread an
     // entire sweep
