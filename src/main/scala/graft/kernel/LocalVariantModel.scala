@@ -100,7 +100,13 @@ final class LocalVariantModel(
   // parallel primitive-friendly arrays (values + presence masks) so the
   // containment scan is a tight loop with a 1-AND prefilter
   // (reference: src/lib.rs:222-245; scan lib.rs:1266-1281)
-  private var sortedIndex: Map[Int, (Array[BigInteger], Array[Long])] = Map.empty
+  /** charcount -> (sorted anavalues, presence masks, long fast-path
+    * values: the anavalue when it fits 62 bits, else 0 — most words'
+    * prime products fit a Long, turning the containment scan's dominant
+    * BigInteger.mod into a native long remainder).
+    */
+  private var sortedIndex: Map[Int, (Array[BigInteger], Array[Long], Array[Long])] =
+    Map.empty
   private var anavalues: Map[Long, BigInteger] = Map.empty
   var haveFreq: Boolean = false
   // language model state (reference: lib.rs ngrams/have_lm)
@@ -395,7 +401,8 @@ final class LocalVariantModel(
       .groupBy(_._1)
       .map { case (cc, vs) =>
         val sorted = vs.map(_._2).sortBy(identity).toArray
-        cc -> (sorted, sorted.map(masks))
+        cc -> ((sorted, sorted.map(masks),
+          sorted.map(v => if (v.bitLength <= 62) v.longValueExact else 0L)))
       }
     // language model (reference: lib.rs:247-297)
     val lmCounts = mutable.HashMap.empty[Vector[Long], Long]
@@ -485,20 +492,31 @@ final class LocalVariantModel(
     // (candidate, probe) tests die on one AND instead of a BigInteger mod.
     val byCc = lookups.keysIterator.toVector.groupBy(_._2)
     for ((cc, probeKeys) <- byCc; bucket <- sortedIndex.get(cc)) {
-      val (candidates, candMasks) = bucket
+      val (candidates, candMasks, candLongs) = bucket
       val values = probeKeys.map(_._1).toArray
       val probeMasks = probeKeys.map(k => lookups(k)).toArray
+      // long fast path (0 = does not fit 62 bits): when BOTH sides fit,
+      // divisibility is one native % instead of a BigInteger mod — the
+      // scan's dominant cost (profiled at >50% of query wall). A probe
+      // that overflows Long is strictly larger than any Long candidate,
+      // so the mixed case is a constant false.
+      val probeLongs = values.map(v => if (v.bitLength <= 62) v.longValueExact else 0L)
       var ci = 0
       while (ci < candidates.length) {
-        val cand = candidates(ci)
         val cMask = candMasks(ci)
+        val cL = candLongs(ci)
         var pi = 0
         var found = false
         while (pi < values.length && !found) {
-          if ((probeMasks(pi) & ~cMask) == 0 &&
-            AnaHash.contains(cand, values(pi))) {
-            nearest += cand
-            found = true
+          if ((probeMasks(pi) & ~cMask) == 0) {
+            val pL = probeLongs(pi)
+            val hit =
+              if (cL != 0L) pL != 0L && pL <= cL && cL % pL == 0L
+              else AnaHash.contains(candidates(ci), values(pi))
+            if (hit) {
+              nearest += candidates(ci)
+              found = true
+            }
           }
           pi += 1
         }
