@@ -189,6 +189,12 @@ object AnaHash {
       maxDistance: Int
   ): Vector[(BigInteger, Long, Int)] = {
     if (maxDistance <= 0) return Vector.empty
+    // long fast path: every BFS descendant divides focus, so when focus
+    // fits 62 bits the whole lattice walk runs in native long arithmetic
+    // (same yield order, same values — divides of the same primes)
+    if (focus.bitLength <= 62)
+      return deletionNeighborhoodWithMasksLong(focus.longValueExact,
+        focusMask, alphabetSizeWithUnk, maxDistance)
     val visited = scala.collection.mutable.HashSet[BigInteger](focus)
     var frontier = List((focus, focusMask))
     val out = Vector.newBuilder[(BigInteger, Long, Int)]
@@ -208,6 +214,51 @@ object AnaHash {
                 else mask
               next += ((parent, pm))
               if (!isEmpty(parent)) out += ((parent, pm, depth))
+            }
+          }
+          i -= 1
+        }
+      }
+      frontier = next.toList
+      depth += 1
+    }
+    out.result()
+  }
+
+  private val primesLong: Array[Long] = PRIMES.map(_.toLong)
+
+  /** [[deletionNeighborhoodWithMasks]] in native long arithmetic —
+    * identical traversal order and yields, one % and one / per edge
+    * instead of BigInteger divides (profiled on the matcher hot path).
+    */
+  private def deletionNeighborhoodWithMasksLong(
+      focus: Long,
+      focusMask: Long,
+      alphabetSizeWithUnk: Int,
+      maxDistance: Int
+  ): Vector[(BigInteger, Long, Int)] = {
+    val visited = new java.util.HashSet[java.lang.Long]()
+    visited.add(focus)
+    var frontier = List((focus, focusMask))
+    val out = Vector.newBuilder[(BigInteger, Long, Int)]
+    var depth = 1
+    while (depth <= maxDistance && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+      for ((v, mask) <- frontier) {
+        var i = alphabetSizeWithUnk - 1
+        while (i >= 0) {
+          if ((mask & maskBit(i)) != 0) {
+            val p = primesLong(i)
+            if (v % p == 0L) {
+              val parent = v / p
+              if (visited.add(parent)) {
+                val pm =
+                  if (i < 63 && parent % p != 0L) mask & ~maskBit(i)
+                  else mask
+                next += ((parent, pm))
+                if (parent > 1L)
+                  out += ((BigInteger.valueOf(parent), pm, depth))
+              }
             }
           }
           i -= 1
