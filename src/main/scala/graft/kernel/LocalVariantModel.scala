@@ -107,6 +107,18 @@ final class LocalVariantModel(
     */
   private var sortedIndex: Map[Int, (Array[BigInteger], Array[Long], Array[Long])] =
     Map.empty
+  // presence set of index keys that fit 62 bits (the vast majority):
+  // the deletion-BFS membership probes hit this with one long hash
+  // instead of a BigInteger hashCode+equals chain
+  private var indexKeysLong: java.util.HashSet[java.lang.Long] =
+    new java.util.HashSet[java.lang.Long]()
+  /** Index membership with the long fast path — a value that fits 62
+    * bits can never equal an overflowing key, so the long set answers
+    * exactly for fitting probes.
+    */
+  @inline private def indexHas(v: BigInteger): Boolean =
+    if (v.bitLength <= 62) indexKeysLong.contains(v.longValueExact)
+    else index.contains(v)
   private var anavalues: Map[Long, BigInteger] = Map.empty
   var haveFreq: Boolean = false
   // language model state (reference: lib.rs ngrams/have_lm)
@@ -395,6 +407,12 @@ final class LocalVariantModel(
       counts.getOrElseUpdate(av, e.norm.length)
     }
     index = idx.toMap
+    indexKeysLong = {
+      val s = new java.util.HashSet[java.lang.Long](index.size * 2)
+      index.keysIterator.foreach(k =>
+        if (k.bitLength <= 62) s.add(k.longValueExact))
+      s
+    }
     anavalues = avs.toMap
     sortedIndex = index.keysIterator.toVector
       .map(av => (counts(av), av))
@@ -467,7 +485,7 @@ final class LocalVariantModel(
     // hits) are each internally duplicate-free, so one final sort is the
     // same BTreeSet order at a fraction of the comparisons
     val nearest = mutable.ArrayBuffer.empty[BigInteger]
-    if (index.contains(focus)) {
+    if (indexHas(focus)) {
       nearest += focus
       if (stopCriterion == StopCriterion.StopAtExactMatch &&
         index(focus).nonEmpty) return nearest.toVector
@@ -485,7 +503,7 @@ final class LocalVariantModel(
     val deletions = AnaHash.deletionNeighborhoodWithMasks(
       focus, focusMask, focusAlphabetSize + 1, maxDistance)
     for ((del, mask, dist) <- deletions) {
-      if (index.contains(del)) nearest += del
+      if (indexHas(del)) nearest += del
       val delCharCount = focusCharCount - dist
       for (sd <- 1 to (maxDistance - dist))
         lookups.getOrElseUpdate((del, delCharCount + sd), mask)
