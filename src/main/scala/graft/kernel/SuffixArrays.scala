@@ -20,13 +20,18 @@ package graft.kernel
   */
 object SuffixArrays {
 
+  /** Exclusive length bound of [[build]] (rank/index bit-packing).
+    * Callers with longer hosts must use a direct scan instead.
+    */
+  val MaxLength: Int = 1 << 20
+
   /** Suffix array of `s`: indices of all suffixes in lexicographic
     * order. Empty input yields an empty array.
     */
   def build(s: String): Array[Int] = {
     val n = s.length
     if (n == 0) return Array.empty
-    require(n < (1 << 20), s"suffix-array kernel supports |s| < 2^20, got $n")
+    require(n < MaxLength, s"suffix-array kernel supports |s| < 2^20, got $n")
     val rank = new Array[Int](n)
     var i = 0
     while (i < n) { rank(i) = s.charAt(i); i += 1 }

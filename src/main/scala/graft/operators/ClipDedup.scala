@@ -144,12 +144,16 @@ object ClipDedup {
     val withCluster = clips.join(assignments, Seq("clip_id"))
     val sampled = if (sampleFraction >= 1.0) withCluster
       else withCluster.sample(withReplacement = false, sampleFraction, 42L)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-      .orderBy("clip_id")
+    // cluster canonical = row with the min clip_id, elected by min_by
+    // aggregation (map-side partial, shuffle-light) — a row_number window
+    // here would sort a pathological mega-cluster in one task
     val canon = withCluster
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("cluster_id"), col("bytes").as("canon_bytes"),
-        col("sr_hz").as("canon_sr"), col("dur_ms").as("canon_dur"))
+      .groupBy(col("cluster_id"))
+      .agg(min_by(
+        struct(col("bytes"), col("sr_hz"), col("dur_ms")),
+        col("clip_id")).as("c"))
+      .select(col("cluster_id"), col("c.bytes").as("canon_bytes"),
+        col("c.sr_hz").as("canon_sr"), col("c.dur_ms").as("canon_dur"))
     sampled.join(canon, Seq("cluster_id"))
       .filter(col("sr_hz") === col("canon_sr") && col("dur_ms") === col("canon_dur"))
       .filter(!snrOk(col("canon_bytes"), col("bytes")))

@@ -56,7 +56,14 @@ final case class DedupConfig(
       * at >0 only probes with at least this many normalized chars join
       * (ultra-short strings are substrings of everything).
       */
-    substringMinLen: Int = 0
+    substringMinLen: Int = 0,
+    /** containment pass: max probes collected per host for the grouped
+      * verification call — bounds the per-row struct array (executor
+      * memory) the same way bucketCap bounds bucket fanout. Deterministic:
+      * the lowest-id probes win; drops only occur on pathological hosts
+      * and are the same recall-accounting trade as the bucket cap.
+      */
+    hostProbeCap: Int = 4096
 ) {
   require(bands * rowsPerBand <= minhashK,
     "bands * rowsPerBand must not exceed minhashK")
@@ -311,7 +318,11 @@ object DedupPipeline {
     */
   private val verifyProbesInHost =
     udf { (host: String, ps: Seq[org.apache.spark.sql.Row]) =>
-      if (ps.length >= 4 && host.length >= 64) {
+      // SuffixArrays.build requires length < 2^20 (int-packed rank pairs);
+      // a single pathological host must fall back to the direct scan, not
+      // crash the stage
+      if (ps.length >= 4 && host.length >= 64 &&
+          host.length < graft.kernel.SuffixArrays.MaxLength) {
         val sa = graft.kernel.SuffixArrays.build(host)
         ps.collect {
           case r if graft.kernel.SuffixArrays.containsSub(host, sa, r.getString(1)) =>
@@ -332,8 +343,13 @@ object DedupPipeline {
     * its probes in one kernel call ([[verifyProbesInHost]] — suffix
     * array past the cost crossover, direct scan below it), so these
     * become edges directly, bypassing the DL kernel which would reject
-    * large length gaps. The per-host group is bounded: a host meets at
-    * most bucketCap probes per distinct shingle.
+    * large length gaps. The per-host group is bounded twice: a host meets
+    * at most bucketCap probes per distinct shingle at the join, and the
+    * collected verification list is capped at hostProbeCap rows (a host
+    * whose shingles anchor pathologically many probes must not
+    * materialize an unbounded struct array in one row at 10^12-row
+    * scale; the cap keeps the deterministic lowest-id probes and is the
+    * same documented recall-accounting trade as the bucket cap).
     */
   def containmentEdges(base: DataFrame, cfg: DedupConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -350,8 +366,11 @@ object DedupPipeline {
       .withColumn("bucket_n", count(lit(1)).over(whost))
       .filter(col("bucket_n") <= cfg.bucketCap)
       .drop("bucket_n")
+    val wprobe = Window.partitionBy("b").orderBy(col("a"))
     probes.join(hosts, Seq("akey"))
       .filter(col("alen") < col("blen"))
+      .withColumn("pn", row_number().over(wprobe))
+      .filter(col("pn") <= cfg.hostProbeCap)
       .groupBy(col("b"), col("bnorm"))
       .agg(collect_list(struct(col("a"), col("anorm"))).as("ps"))
       .select(col("b"),

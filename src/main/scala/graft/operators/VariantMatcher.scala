@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kernel._
@@ -98,6 +98,33 @@ object VariantMatcher {
   ): Dataset[VariantMatch] =
     broadcastMatcher(spark, model)(queries, params, queryCol)
 
+  /** Export a built local model as the (lexicon, variant-edge) DataFrames
+    * [[matchJoin]] consumes — the migration path when a lexicon outgrows
+    * broadcast: the same model definition drives either strategy.
+    * Lexicon rows are the INDEXED entries (id, text, freq, transparent);
+    * edges carry the per-variant insertion order (`edge_seq`) the
+    * reference's stable ranking depends on (variantOf lists are stored in
+    * file order, ref lib.rs:478-514).
+    */
+  def modelFrames(
+      spark: SparkSession,
+      model: LocalVariantModel
+  ): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val lex = model.vocab.iterator
+      .filter(e => e.indexed && e.norm.nonEmpty)
+      .map(e => (e.id, e.text, e.frequency, e.transparent))
+      .toSeq
+      .toDF("id", "text", "freq", "transparent")
+    val edges = model.vocab.iterator
+      .flatMap(e => e.variantOf.iterator.zipWithIndex.map {
+        case ((refId, score), seq) => (e.id, refId, score, seq.toLong)
+      })
+      .toSeq
+      .toDF("variant_id", "ref_id", "edge_score", "edge_seq")
+    (lex, edges)
+  }
+
   /** Strategy 2: declarative join plan. Same logical result as
     * [[matchBroadcast]]; used when the lexicon cannot be broadcast.
     *
@@ -107,16 +134,30 @@ object VariantMatcher {
     *           -> equi-join index on anavalue          (J1/exact)
     *   queries -> explode(containment probes (value, target_cc))
     *           -> join index on cc == target_cc && index.ana % value == 0  (J2)
-    *   union -> distinct -> DL verify (J4) -> score (R1) -> freq-norm (R2)
-    *   -> rank windows (R3) -> top-k (R4, tie-aware) -> cutoff (R6)
+    *   union -> distinct -> DL verify (J4) -> score (R1)
+    *   -> (early confusables R5) -> variant expansion (J5) -> freq-norm (R2)
+    *   -> rank windows (R3) + consecutive-dup drop -> top-k (R4, tie-aware)
+    *   -> late confusables R5 + re-rank -> cutoff (R6)
+    *
+    * @param variantEdges optional VariantOf edge table
+    *        (variant_id, ref_id, edge_score, edge_seq) — J5 expansion
+    *        (ref lib.rs:1677-1727). `edge_seq` = per-variant insertion
+    *        order (stable-sort tie order). [[modelFrames]] exports both
+    *        inputs from a built [[LocalVariantModel]].
+    * @param confusables R5 rescoring patterns (ref lib.rs:1591-1595);
+    *        applied late (after truncation) unless
+    *        `confusablesBeforePruning` (lib.rs:1505-1508).
     */
   def matchJoin(
       spark: SparkSession,
       alphabet: Alphabet,
-      lexicon: DataFrame, // columns: text, freq (nullable)
+      lexicon: DataFrame, // columns: text, freq (nullable), transparent (optional)
       queries: DataFrame, // one string column
       params: SearchParameters,
-      queryCol: String = "query"
+      queryCol: String = "query",
+      variantEdges: Option[DataFrame] = None,
+      confusables: Seq[Confusable] = Seq.empty,
+      confusablesBeforePruning: Boolean = false
   ): DataFrame = {
     import spark.implicits._
     val weights = params.weights
@@ -138,6 +179,10 @@ object VariantMatcher {
       .withColumn("freq",
         if (lexicon.columns.contains("freq")) coalesce(col("freq"), lit(1L))
         else lit(1L))
+      .withColumn("transparent",
+        if (lexicon.columns.contains("transparent"))
+          coalesce(col("transparent"), lit(false))
+        else lit(false))
 
     // --- probe generation (J1): per query, equality probes (exact +
     //     deletions present in index checked via join) and containment
@@ -185,11 +230,10 @@ object VariantMatcher {
       .join(lex, Seq("cc"))
       .filter(modZeroUdf(col("anavalue"), col("probe")))
 
-    val cands = eqCands
-      .select(col("query"), col("qnorm"), col("id"), col("text"), col("norm"),
-        col("freq"), col("anavalue"))
-      .union(containCands.select(col("query"), col("qnorm"), col("id"),
-        col("text"), col("norm"), col("freq"), col("anavalue")))
+    val candCols = Seq("query", "qnorm", "id", "text", "norm", "freq",
+      "anavalue", "transparent").map(col)
+    val cands = eqCands.select(candCols: _*)
+      .union(containCands.select(candCols: _*))
       .dropDuplicates("query", "id")
 
     // --- verify + score (J4/R1) ---
@@ -203,34 +247,118 @@ object VariantMatcher {
           .distanceFeatures(qn, q, cn, ctext, maxEdit, weights)
           .map(dist => Scoring.score(dist, qn.length, weights))
     }
-    val scored = cands
-      .withColumn("dist_score",
-        scoreUdf(col("qnorm"), col("query"), col("norm"), col("text")))
-      .filter(col("dist_score").isNotNull &&
-        col("dist_score") >= params.scoreThreshold)
-      // freq was coalesced to 1 in the index build, so an all-null (or
-      // absent) freq column yields freq_score = 1/max(1) = 1 for every
-      // row — identical to the old driver-side "haveFreq" probe, which
-      // cost a hidden Spark job during plan construction.
-      .withColumn("freq_raw", col("freq").cast("double"))
-
-    // --- R2 freq normalization per query + R3 ranking + R4/R6 crops ---
     import org.apache.spark.sql.expressions.Window
     val wq = Window.partitionBy("query")
-    val ordered = Window.partitionBy("query")
-      .orderBy(col("dist_score").desc, col("freq_score").desc,
-        length(col("anavalue")), col("anavalue"), col("id"))
-    val ranked = scored
-      .withColumn("freq_score", col("freq_raw") / max("freq_raw").over(wq))
-      .withColumn("rank", row_number().over(ordered))
+    // verified = the kernel's `instances` set (DL within bound, BEFORE the
+    // score threshold): the freq-normalization denominator and the
+    // has-expandable flag are both computed over THIS set, not the
+    // thresholded survivors (ref lib.rs:1454-1475 — the maxFreq loop runs
+    // over all gathered instances). freq was coalesced to 1 in the index
+    // build, so an all-null (or absent) freq column yields
+    // freq_score = 1/max(1) = 1 for every row.
+    val verified0 = cands
+      .withColumn("dist_score",
+        scoreUdf(col("qnorm"), col("query"), col("norm"), col("text")))
+      .filter(col("dist_score").isNotNull)
+      .withColumn("freq_raw", col("freq").cast("double"))
+    val verified = variantEdges match {
+      case Some(edges) =>
+        // per-query expandability (ref lib.rs:1464: any INSTANCE with
+        // outgoing VariantOf edges turns expansion on for that query)
+        val hasEdges = edges.select(col("variant_id").as("id")).distinct()
+          .withColumn("has_edges", lit(1))
+        verified0.join(hasEdges, Seq("id"), "left")
+          .withColumn("has_exp",
+            max(coalesce(col("has_edges"), lit(0))).over(wq))
+          .drop("has_edges")
+      case None => verified0.withColumn("has_exp", lit(0))
+    }
+    val thresholded0 = verified
+      .withColumn("maxf", max("freq_raw").over(wq))
+      .filter(col("dist_score") >= params.scoreThreshold)
 
-    // tie-aware top-k (R4): replicate lib.rs:1536-1589 with window stats.
-    // NOTE: compares on dist_score, exact for freqWeight == 0 (our fixed
-    // pipeline config); the broadcast strategy handles freqWeight > 0.
+    // --- R5 early confusable rescoring (ref lib.rs:1505-1508) ---
+    val confList = confusables.toIndexedSeq
+    lazy val cweightUdf = udf { (q: String, c: String) =>
+      graft.kernel.Confusable.weightFor(confList, q, c)
+    }
+    val thresholded =
+      if (confusables.nonEmpty && confusablesBeforePruning)
+        thresholded0.withColumn("dist_score",
+          col("dist_score") * cweightUdf(col("query"), col("text")))
+      else thresholded0
+
+    // --- J5 variant expansion (ref lib.rs:1677-1727). Stable-order keys:
+    // a result's position in the kernel's vector is (gather order of its
+    // parent instance: ascending anavalue then insertion id) x (edge
+    // insertion order, with the non-transparent parent AFTER its edges =
+    // Long.MaxValue). The rank sort below uses these as its stability
+    // suffix, reproducing Rust's stable sort exactly. ---
+    val withStable = thresholded
+      .withColumn("g_len", length(col("anavalue")))
+      .withColumn("g_ana", col("anavalue"))
+      .withColumn("g_id", col("id"))
+      .withColumn("g_seq", lit(Long.MaxValue))
+    val outCols = Seq("query", "id", "text", "dist_score", "freq_raw",
+      "maxf", "g_len", "g_ana", "g_id", "g_seq").map(col)
+    val expanded = variantEdges match {
+      case Some(edges) =>
+        val refs = lex.select(col("id").as("ref_id"),
+          col("text").as("ref_text"), col("freq").as("ref_freq"))
+        val exp = withStable.filter(col("has_exp") === 1)
+          .join(edges, col("id") === edges("variant_id"))
+          .join(refs, Seq("ref_id"))
+          .select(col("query"), col("ref_id").as("id"),
+            col("ref_text").as("text"),
+            (col("dist_score") * col("edge_score")).as("dist_score"),
+            least(col("ref_freq").cast("double"), col("freq_raw"))
+              .as("freq_raw"),
+            col("maxf"), col("g_len"), col("g_ana"), col("g_id"),
+            col("edge_seq").cast("long").as("g_seq"))
+        // transparent originals dropped — but ONLY for queries where
+        // expansion ran (ref lib.rs:1714-1717)
+        val kept = withStable
+          .filter(col("has_exp") === 0 || !col("transparent"))
+          .select(outCols: _*)
+        kept.unionByName(exp)
+      case None => withStable.select(outCols: _*)
+    }
+
+    // --- R2 freq normalization (denominator fixed pre-expansion; an
+    // expanded row's freq = min(target, parent) can never exceed it) ---
+    val normed = expanded.withColumn("freq_score",
+      when(col("maxf") > 0, col("freq_raw") / col("maxf"))
+        .otherwise(col("freq_raw")))
+
+    // --- R3 ranking (ref types.rs:335-365): blended score when
+    // freqWeight > 0, else dist desc + freq tie-break; stability suffix =
+    // the gather/edge keys above ---
+    val fw = params.freqWeight.toDouble
+    def blendOf(dist: Column, freqSc: Column): Column =
+      if (fw == 0.0) dist else (dist + lit(fw) * freqSc) / lit(1.0 + fw)
+    def orderKeys(dist: Column, freqSc: Column): Seq[Column] =
+      (if (fw == 0.0) Seq(dist.desc, freqSc.desc)
+       else Seq(blendOf(dist, freqSc).desc)) ++
+        Seq(col("g_len"), col("g_ana"), col("g_id"), col("g_seq"))
+    val ord1 = orderKeys(col("dist_score"), col("freq_score"))
+    val wOrd1 = Window.partitionBy("query").orderBy(ord1: _*)
+    // consecutive-duplicate drop after the rank sort, keeping the first
+    // (ref Vec::dedup_by_key, lib.rs:1530-1533) — only expansion can
+    // produce duplicates, and only adjacent ones are merged
+    val deduped = normed
+      .withColumn("prev_id", lag(col("id"), 1).over(wOrd1))
+      .filter(col("prev_id").isNull || col("prev_id") =!= col("id"))
+      .drop("prev_id")
+    val ranked = deduped.withColumn("rank", row_number().over(wOrd1))
+
+    // --- R4 tie-aware top-k (ref lib.rs:1536-1589): last/cropped compare
+    // BLENDED scores; the early/late scan compares dist_score against the
+    // cropped blended value — faithful to the reference, odd as it looks.
+    val blend1 = blendOf(col("dist_score"), col("freq_score"))
     val maxM = params.maxMatches
     val cropped = if (maxM > 0) {
-      val lastScore = max(when(col("rank") === maxM, col("dist_score"))).over(wq)
-      val croppedScore = max(when(col("rank") === maxM + 1, col("dist_score"))).over(wq)
+      val lastScore = max(when(col("rank") === maxM, blend1)).over(wq)
+      val croppedScore = max(when(col("rank") === maxM + 1, blend1)).over(wq)
       val withB = ranked
         .withColumn("last_s", lastScore)
         .withColumn("crop_s", croppedScore)
@@ -251,13 +379,28 @@ object VariantMatcher {
         .drop("last_s", "crop_s", "early", "late")
     } else ranked
 
-    // R6 relative cutoff
-    val withBest = cropped.withColumn("best_s",
-      max(when(col("rank") === 1, col("dist_score"))).over(wq))
+    // --- R5 late confusable rescoring + re-rank (ref lib.rs:1591-1595);
+    // stability of the re-rank = the pre-rescore rank ---
+    val rescored =
+      if (confusables.nonEmpty && !confusablesBeforePruning) {
+        val r2 = cropped.withColumn("dist_score",
+          col("dist_score") * cweightUdf(col("query"), col("text")))
+        val ord2 =
+          (if (fw == 0.0) Seq(col("dist_score").desc, col("freq_score").desc)
+           else Seq(blendOf(col("dist_score"), col("freq_score")).desc)) :+
+            col("rank").asc
+        r2.withColumn("rank",
+          row_number().over(Window.partitionBy("query").orderBy(ord2: _*)))
+      } else cropped
+
+    // --- R6 relative cutoff (ref lib.rs:1597-1622, blended scores) ---
+    val blendF = blendOf(col("dist_score"), col("freq_score"))
+    val withBest = rescored.withColumn("best_s",
+      max(when(col("rank") === 1, blendF)).over(wq))
     val cut =
       if (params.cutoffThreshold >= 1.0) {
         val cutRank = min(when(col("rank") > 1 &&
-          col("dist_score") <= col("best_s") / params.cutoffThreshold,
+          blendF <= col("best_s") / params.cutoffThreshold,
           col("rank"))).over(wq)
         withBest.withColumn("cut_rank", cutRank)
           .filter(col("cut_rank").isNull || col("rank") < col("cut_rank"))
