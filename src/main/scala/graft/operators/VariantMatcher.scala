@@ -344,11 +344,15 @@ object VariantMatcher {
     val wOrd1 = Window.partitionBy("query").orderBy(ord1: _*)
     // consecutive-duplicate drop after the rank sort, keeping the first
     // (ref Vec::dedup_by_key, lib.rs:1530-1533) — only expansion can
-    // produce duplicates, and only adjacent ones are merged
-    val deduped = normed
-      .withColumn("prev_id", lag(col("id"), 1).over(wOrd1))
-      .filter(col("prev_id").isNull || col("prev_id") =!= col("id"))
-      .drop("prev_id")
+    // produce duplicates (upstream candidates are already distinct on
+    // (query, id)), so the extra window pass is skipped entirely when no
+    // edge table is supplied
+    val deduped =
+      if (variantEdges.isEmpty) normed
+      else normed
+        .withColumn("prev_id", lag(col("id"), 1).over(wOrd1))
+        .filter(col("prev_id").isNull || col("prev_id") =!= col("id"))
+        .drop("prev_id")
     val ranked = deduped.withColumn("rank", row_number().over(wOrd1))
 
     // --- R4 tie-aware top-k (ref lib.rs:1536-1589): last/cropped compare
