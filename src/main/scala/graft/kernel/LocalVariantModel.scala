@@ -742,6 +742,50 @@ final class LocalVariantModel(
     count
   }
 
+  /** Apply a pre-reduced learn delta — the driver-side half of the
+    * distributed learn iteration (graft.operators.DistributedLearn).
+    * Semantically equal to [[learnVariants]]'s fold over the flattened
+    * (input, result) pair sequence, reduced to model-sized data:
+    *
+    *  - `inputRuns`: one row per distinct result-bearing input string in
+    *    FIRST-OCCURRENCE order, with its count of consecutive-run starts
+    *    in the pair sequence. New strings are added transparent with
+    *    freq 1 (ref lib.rs:1076-1078 VocabParams) and each further run
+    *    start bumps the frequency by one — the exact consecutive-run rule
+    *    of lib.rs:1103-1118, because within one run only the first pair
+    *    bumps and a new word's first run is its insertion.
+    *  - `edges`: distinct (refId, input, firstScore) in first-occurrence
+    *    order of the pair that created each edge — [[addVariantById]]'s
+    *    internal dedup keeps the first insertion, so replaying only
+    *    distinct edges in first-occurrence order yields identical
+    *    variantOf/referenceFor list orders (the R3/R4 stability keys).
+    *
+    * Vocab ids come out identical to the sequential fold: new entries are
+    * appended in first-occurrence order before any edge is linked, and an
+    * edge can never target an id minted in the same iteration (match
+    * results were computed against the pre-iteration model).
+    */
+  def applyLearnDelta(
+      inputRuns: Seq[(String, Long)],
+      edges: Seq[(Long, String, Double)],
+      autoBuild: Boolean = true
+  ): Unit = {
+    for ((s, runs) <- inputRuns) {
+      encoder.get(s) match {
+        case Some(i) =>
+          val e = entries(i)
+          entries(i) = e.copy(frequency = e.frequency + runs)
+        case None =>
+          val id = add(s, Some(1L), transparent = true)
+          val e = entries(id.toInt)
+          entries(id.toInt) = e.copy(frequency = e.frequency + (runs - 1))
+      }
+    }
+    for ((refId, input, score) <- edges)
+      addVariantById(refId, entries(encoder(input)).id, score)
+    if (autoBuild) build()
+  }
+
   /** K3: weighted-variant-list sink (reference:
     * output_weighted_variants_as_tsv bin/analiticcl.rs:226-288): one line
     * per reference entry that has learned/loaded variants, `ref (TAB

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.kernel._
+
+/** One flattened (input, match) pair of the learn fold, tagged with its
+  * global position (lineNo, seq) in corpus order.
+  */
+final case class LearnPair(
+    lineNo: Long,
+    seq: Int,
+    input: String,
+    refId: Long,
+    distScore: Double,
+    exact: Boolean
+)
+
+/** Per-partition reduction of the pair stream (partitions are ranges of
+  * (lineNo, seq), so partition order == corpus order):
+  *  - `runStarts`: per input string, how many consecutive runs START in
+  *    this partition (the partition's first pair counts provisionally; the
+  *    driver cancels it when the previous partition ended on the same
+  *    string);
+  *  - `firstOcc`: per input string, its first (lineNo, seq) here.
+  * Both are bounded by the number of DISTINCT input strings, not the
+  * corpus size — the driver only ever sees model-sized data.
+  */
+final case class LearnPartSummary(
+    pid: Int,
+    firstInput: String,
+    lastInput: String,
+    runStarts: Seq[(String, Long)],
+    firstOcc: Seq[(String, Long, Int)]
+)
+
+/** Distributed learn mode (L1 at cluster scale; reference:
+  * learn_variants src/lib.rs:1062-1139, process_learn
+  * bin/analiticcl.rs:484-557). Control shape per SURVEY §3.3: an
+  * iteration is one Spark job — the corpus is matched on executors
+  * against the broadcast model (the same kernel the BroadcastMatcher
+  * runs), the flattened pair stream is reduced IN ONE RANGE-PARTITIONED
+  * PASS to model-sized per-partition summaries, and the driver replays
+  * the merged delta into the authoritative model
+  * ([[LocalVariantModel.applyLearnDelta]]), rebuilds, and re-broadcasts
+  * for the next iteration. Convergence = an iteration that learns zero
+  * variants (halt-on-zero, ref bin/analiticcl.rs:512-516).
+  *
+  * Scale shape: the only shuffle per iteration is the range partition of
+  * the pair stream (pairs are corpus-sized but never grouped per key
+  * into one task — run counting is per-partition streaming with an
+  * O(#partitions) driver boundary fixup, the same two-phase trick as
+  * graft.spark.Ranks). Driver traffic is bounded by the number of
+  * DISTINCT strings/edges learned, which must fit the model (and hence
+  * the broadcast) anyway.
+  */
+object DistributedLearn {
+
+  /** Match + reduce + fold: one learn iteration over `corpus`
+    * (lineNo, text) rows in corpus order. Mutates `model` exactly like
+    * `model.learnVariants(lines, params, strict)` and returns the same
+    * learned-variant count.
+    */
+  def iterate(
+      spark: SparkSession,
+      model: LocalVariantModel,
+      corpus: Dataset[(Long, String)],
+      params: SearchParameters,
+      strict: Boolean = true,
+      autoBuild: Boolean = true
+  ): Int = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    try {
+      val pairs: Dataset[LearnPair] = corpus.mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (lineNo, line) =>
+          val rs: Seq[(String, VariantResult)] =
+            if (strict) m.findVariants(line, params).map(r => (line, r))
+            else
+              SearchEngine.findAllMatches(m, line, params).flatMap { mm =>
+                for {
+                  sel <- mm.selected
+                  vs <- mm.variants
+                  r <- vs.lift(sel)
+                } yield (mm.text, r)
+              }
+          rs.iterator.zipWithIndex.map { case ((input, r), seq) =>
+            LearnPair(lineNo, seq, input, r.vocabId, r.distScore,
+              exact = m.encode(input).contains(r.vocabId))
+          }
+        }
+      }
+
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nPart = math.max(1, corpus.rdd.getNumPartitions)
+        val summaries = pairs
+          .repartitionByRange(nPart, $"lineNo", $"seq")
+          .sortWithinPartitions("lineNo", "seq")
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val runStarts = scala.collection.mutable.HashMap.empty[String, Long]
+            val firstOcc =
+              scala.collection.mutable.LinkedHashMap.empty[String, (Long, Int)]
+            var first: String = null
+            var last: String = null
+            for (p <- it) {
+              if (first == null) first = p.input
+              if (last == null || last != p.input)
+                runStarts.update(p.input, runStarts.getOrElse(p.input, 0L) + 1L)
+              last = p.input
+              if (!firstOcc.contains(p.input))
+                firstOcc.update(p.input, (p.lineNo, p.seq))
+            }
+            if (first == null) Iterator.empty
+            else Iterator.single(LearnPartSummary(pid, first, last,
+              runStarts.toSeq,
+              firstOcc.iterator.map { case (s, (l, q)) => (s, l, q) }.toSeq))
+          }
+          .collect()
+          .sortBy(_.pid)
+
+        // --- driver merge: O(model) work over O(#partitions) summaries ---
+        val runs = scala.collection.mutable.HashMap.empty[String, Long]
+        val firstOcc = scala.collection.mutable.HashMap.empty[String, (Long, Int)]
+        var prevLast: String = null
+        for (s <- summaries) {
+          for ((w, n) <- s.runStarts)
+            runs.update(w, runs.getOrElse(w, 0L) + n)
+          // the run continuing across the partition boundary was counted as
+          // a fresh start by the right-hand partition — cancel it
+          if (prevLast != null && s.firstInput == prevLast)
+            runs.update(s.firstInput, runs(s.firstInput) - 1L)
+          prevLast = s.lastInput
+          for ((w, l, q) <- s.firstOcc)
+            if (!firstOcc.get(w).exists(o => ordLe(o, (l, q))))
+              firstOcc.update(w, (l, q))
+        }
+
+        // Non-exact pairs are replayed PER OCCURRENCE, not per distinct
+        // edge: the reference's add_variant_by_id (lib.rs:478-514) dedups
+        // only the referenceFor direction — the variantOf list appends one
+        // (ref, score) entry for every occurrence, and J5 expansion's
+        // result multiplicity depends on it. This collect is bounded by
+        // the model's own variantOf growth, which the driver-resident
+        // model absorbs either way — it is model-sized, not corpus-sized.
+        val edgeRows = pairs.filter(!_.exact)
+          .map(p => (p.lineNo, p.seq, p.refId, p.input, p.distScore))
+          .collect()
+          .sortBy(t => (t._1, t._2))
+
+        val inputRuns = firstOcc.toSeq.sortBy(_._2).map { case (w, _) =>
+          (w, runs.getOrElse(w, 0L))
+        }
+        val orderedEdges =
+          edgeRows.toSeq.map { case (_, _, r, w, sc) => (r, w, sc) }
+        model.applyLearnDelta(inputRuns, orderedEdges, autoBuild = autoBuild)
+        edgeRows.length
+      } finally pairs.unpersist()
+    } finally bc.destroy()
+  }
+
+  @inline private def ordLe(a: (Long, Int), b: (Long, Int)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+
+  /** The reference's iteration loop (bin/analiticcl.rs:501-549, strict
+    * branch): up to `iterations` passes, halting early when a pass learns
+    * nothing. Returns the per-iteration learned counts.
+    */
+  def learn(
+      spark: SparkSession,
+      model: LocalVariantModel,
+      corpus: Dataset[(Long, String)],
+      params: SearchParameters,
+      iterations: Int,
+      strict: Boolean = true
+  ): Seq[Int] = {
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var it = 0
+    var continue = true
+    while (it < iterations && continue) {
+      val c = iterate(spark, model, corpus, params, strict = strict)
+      counts += c
+      if (c == 0) continue = false
+      it += 1
+    }
+    counts.toSeq
+  }
+}

@@ -36,12 +36,14 @@ object LearnCli {
 
     var iterations = 1
     var strict = true
+    var distributed = false
     var i = 2
     while (i < args.length) {
       args(i) match {
-        case "--iterations" => iterations = args(i + 1).toInt; i += 2
-        case "--strict"     => strict = true; i += 1
-        case "--text"       => strict = false; i += 1
+        case "--iterations"  => iterations = args(i + 1).toInt; i += 2
+        case "--strict"      => strict = true; i += 1
+        case "--text"        => strict = false; i += 1
+        case "--distributed" => distributed = true; i += 1
         case other =>
           System.err.println(s"unknown option $other"); sys.exit(2)
       }
@@ -52,13 +54,38 @@ object LearnCli {
     finally corpusSrc.close()
 
     val params = SearchParameters()
-    var it = 0
-    var continue = true
-    while (it < iterations && continue) {
-      val learned = model.learnVariants(corpus, params, strict = strict)
-      System.err.println(s"(iteration ${it + 1}: learned $learned variants)")
-      if (learned == 0) continue = false
-      it += 1
+    if (distributed) {
+      // same model, same convergence loop — iterations are Spark jobs
+      // (graft.operators.DistributedLearn); line numbers carry corpus
+      // order through the shuffle
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+        .config("spark.ui.enabled", "false")
+        .appName("graft-learn")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val corpusDs = corpus.zipWithIndex
+        .map { case (t, n) => (n.toLong, t) }
+        .toDS()
+        .repartition(spark.sparkContext.defaultParallelism)
+      val counts = graft.operators.DistributedLearn
+        .learn(spark, model, corpusDs, params, iterations, strict = strict)
+      counts.zipWithIndex.foreach { case (c, it) =>
+        System.err.println(s"(iteration ${it + 1}: learned $c variants)")
+      }
+      spark.stop()
+    } else {
+      var it = 0
+      var continue = true
+      while (it < iterations && continue) {
+        val learned = model.learnVariants(corpus, params, strict = strict)
+        System.err.println(s"(iteration ${it + 1}: learned $learned variants)")
+        if (learned == 0) continue = false
+        it += 1
+      }
     }
 
     model.weightedVariantsTsv.foreach(println)
