@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns => T}
+
+/** IVF (inverted-file) approximate nearest neighbor over an embedding
+  * column — the scale path past brute-force cosine: vectors are
+  * coarse-quantized to their nearest trained centroid, and a query only
+  * scans its top-`nprobe` cells instead of the whole table.
+  *
+  * All plans are broadcast-centroid shaped: the centroid set (k cells,
+  * k ≤ ~10^5) broadcasts; assignment is a broadcast crossJoin + map-side
+  * combinable max_by aggregation — never a window over all vectors, and
+  * the only shuffles are the per-cell/per-query aggregations.
+  *
+  * Training is deterministic Lloyd's k-means, each iteration one Spark
+  * job over the (sampled) vectors:
+  *  - init: the k vectors with the smallest xxhash64(vec_id, seed) — a
+  *    seeded pseudo-random sample with no Math.random anywhere;
+  *  - assign: nearest centroid by cosine (broadcast, max_by);
+  *  - update: element-wise mean per cell via posexplode + avg (two
+  *    narrow-keyed aggregations, no collect_list of vectors);
+  *  - empty cells keep their previous centroid.
+  * The pinned-oracle `emb_ann_ivf` query keeps its deterministic modulo
+  * centroid set (DuckDB-checkable semantics); this operator is the
+  * production path whose recall is quantified by AnnIvfSpec against
+  * brute-force top-k.
+  */
+object AnnIvf {
+
+  /** Cosine column helper (native codegen'd expression when registered). */
+  private def cos(s: SparkSession)(a: Column, b: Column): Column =
+    T.cosineIn(s)(a, b)
+
+  /** Nearest-centroid assignment: one row per vector with its cell id.
+    * `vectors` must have (id, emb: array<double>); `centroids`
+    * (c_id, c_emb). Ties break to the lowest c_id, matching the pinned
+    * oracle query's ordering.
+    */
+  def assign(spark: SparkSession, vectors: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cellCos = vectors.crossJoin(broadcast(centroids))
+      .select(col("id"), col("emb"), col("c_id"),
+        cos(spark)(col("emb"), col("c_emb")).as("ccos"))
+    cellCos.groupBy(col("id"))
+      .agg(
+        max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
+        first(col("emb")).as("emb"))
+  }
+
+  /** Deterministic k-means training over (id, emb) vectors. Returns the
+    * centroid DataFrame (c_id: 0..k-1, c_emb). `sampleN`: train on the
+    * sampleN vectors with the smallest seeded hash instead of the full
+    * table (training cost is O(sample·k·iters); assignment of the full
+    * table happens once, at query build).
+    */
+  def trainCentroids(
+      spark: SparkSession,
+      vectors: DataFrame,
+      k: Int,
+      iterations: Int = 3,
+      seed: Long = 42L,
+      sampleN: Int = 0
+  ): DataFrame = {
+    val hashed = vectors
+      .withColumn("h", xxhash64(col("id"), lit(seed)))
+    val train0 =
+      if (sampleN > 0)
+        hashed.orderBy(col("h")).limit(sampleN).drop("h")
+      else hashed.drop("h")
+    val train = train0.persist()
+    try {
+      // init: k smallest seeded hashes, renumbered 0..k-1 in hash order
+      // (two-phase rank — no no-partition window even on the k-row set)
+      var cents = graft.spark.Ranks
+        .globalSortId(hashed.orderBy(col("h")).limit(k), col("h"), "c_id")
+        .select(col("c_id"), col("emb").as("c_emb"))
+        .persist()
+      cents.count() // materialize before the loop re-plans
+      for (_ <- 1 to iterations) {
+        val asgn = assign(spark, train, cents)
+        // element-wise mean per cell: (c_id, pos) keyed avg, then one
+        // bounded per-cell gather (dim entries) back into an array
+        val means = asgn
+          .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+          .groupBy(col("c_id"), col("pos"))
+          .agg(avg(col("v")).as("v"))
+          .groupBy(col("c_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("v")))),
+            e => e.getField("v")).as("c_emb"))
+        // empty cells keep their previous centroid
+        val next = cents.select(col("c_id"), col("c_emb").as("prev_emb"))
+          .join(means, Seq("c_id"), "left")
+          .select(col("c_id"), coalesce(col("c_emb"), col("prev_emb")).as("c_emb"))
+          .persist()
+        next.count()
+        cents.unpersist()
+        cents = next
+      }
+      cents
+    } finally train.unpersist()
+  }
+
+  /** ANN top-k: for each query vector, the k nearest non-self vectors by
+    * cosine among the query's top-`nprobe` cells. `vectors` and `queries`
+    * both (id, emb); output (q_id, n_id, cos, rank).
+    */
+  def queryTopK(
+      spark: SparkSession,
+      vectors: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      topK: Int = 3,
+      nprobe: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asgn = assign(spark, vectors, centroids)
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .select(col("id").as("q_id"), col("emb").as("q_emb"), col("c_id"),
+        cos(spark)(col("emb"), col("c_emb")).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    val scored = qCells.join(asgn, Seq("c_id"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cos(spark)(col("q_emb"), col("emb")).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Brute-force cosine top-k over the same (id, emb) shape — the recall
+    * baseline (intentionally quadratic; for specs and small query sets).
+    */
+  def bruteTopK(
+      spark: SparkSession,
+      vectors: DataFrame,
+      queries: DataFrame,
+      topK: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    queries.select(col("id").as("q_id"), col("emb").as("q_emb"))
+      .crossJoin(vectors.select(col("id").as("n_id"), col("emb")))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        cos(spark)(col("q_emb"), col("emb")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= topK)
+  }
+}
