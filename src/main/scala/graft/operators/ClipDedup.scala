@@ -61,16 +61,29 @@ object ClipDedup {
     }
   }
 
-  /** Full job. Returns (assignments(clip_id, cluster_id), stage log). */
+  /** Full job. Returns (assignments(clip_id, cluster_id), stage log).
+    *
+    * @param wideIds 128-bit id keying (the 10^12-row contract): clip and
+    *        exact-group keys become 16-byte `unhex(md5(...))` binaries
+    *        instead of xxhash64 longs — expected birthday collisions drop
+    *        from ~10^4 (silent false merges at a trillion rows) to ~1e-15.
+    *        Every downstream stage (sketch, capped buckets, verify, CC —
+    *        including CC's local union-find, which gets a binary-keyed
+    *        kernel) is key-type agnostic, so the plans are unchanged in
+    *        shape; cluster_id comes out binary.
+    */
   def run(
       spark: SparkSession,
       clips: DataFrame,
       workDir: String,
       cfg: DedupConfig = DedupConfig(),
-      alphabet: Alphabet = Alphabet.test
+      alphabet: Alphabet = Alphabet.test,
+      wideIds: Boolean = false
   ): (DataFrame, Seq[StageResult]) = {
     val K = new Kernels(alphabet)
     val r = new Runner(spark, workDir)
+    def keyOf(c: org.apache.spark.sql.Column) =
+      if (wideIds) unhex(md5(c)) else xxhash64(c)
 
     // ---- stage 1: per-clip normalization (narrow map over the input;
     //      this is the clip_id <-> id <-> norm-hash universe the later
@@ -78,10 +91,10 @@ object ClipDedup {
     val norms = r.stage("norms",
         Seq("clip_id", "id", "text", "norm", "nh")) {
       clips.select(col("clip_id"), col("transcript"))
-        .withColumn("id", xxhash64(col("clip_id")))
+        .withColumn("id", keyOf(col("clip_id")))
         .withColumn("text", col("transcript"))
         .withColumn("norm", K.normKey(col("transcript")))
-        .withColumn("nh", xxhash64(col("norm")))
+        .withColumn("nh", keyOf(col("norm")))
         .select(col("clip_id"), col("id"), col("text"), col("norm"), col("nh"))
     }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.spark.Checkpoints
@@ -33,6 +33,22 @@ import graft.spark.Checkpoints
   * executor loss resumes instead of recomputing the round lattice.
   */
 object ConnectedComponents {
+
+  /** Binary node key for the local union-find kernel: value equality +
+    * hashing over the bytes, unsigned lexicographic ordering — identical
+    * to Spark's BinaryType comparison semantics, so both physical
+    * strategies elect the same min roots.
+    */
+  final class BinKey(val bytes: Array[Byte])
+      extends Comparable[BinKey] with Serializable {
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case k: BinKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _         => false
+    }
+    def compareTo(o: BinKey): Int =
+      java.util.Arrays.compareUnsigned(bytes, o.bytes)
+  }
 
   /** Edge count at or below which the single-task union-find kernel is
     * chosen over the distributed loop (the CC analogue of Spark electing
@@ -109,42 +125,90 @@ object ConnectedComponents {
       canon(small)
     }
 
+    // node keys are LONG (64-bit hash / dense ids) or BINARY (the
+    // 128-bit wide-id contract at 10^12 rows); every star-loop op below
+    // (least/greatest/min/groupBy/xxhash64) is orderable-generic, so the
+    // key kind only matters at the two cast sites and the local kernel
+    val wideKeys = edges.schema(srcCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    def key(c: Column): Column = if (wideKeys) c else c.cast("long")
+
     // ---- physical strategy election (stats-driven, like broadcast-join
     //      selection): small edge sets run a one-task union-find kernel ----
     val edgeCount = edges.count()
     if (edgeCount <= localKernelMaxEdges) {
       import spark.implicits._
-      val pairs = edges
-        .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
-        .as[(Long, Long)]
-        .coalesce(1)
-        .mapPartitions { it =>
-          val parent = new java.util.HashMap[Long, Long]()
-          def find(x0: Long): Long = {
-            var x = x0
-            var p = parent.getOrDefault(x, x)
-            while (p != x) { // path halving
-              val gp = parent.getOrDefault(p, p)
-              parent.put(x, gp)
-              x = gp
-              p = parent.getOrDefault(x, x)
+      val pairs = if (!wideKeys) {
+        edges
+          .select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val parent = new java.util.HashMap[Long, Long]()
+            def find(x0: Long): Long = {
+              var x = x0
+              var p = parent.getOrDefault(x, x)
+              while (p != x) { // path halving
+                val gp = parent.getOrDefault(p, p)
+                parent.put(x, gp)
+                x = gp
+                p = parent.getOrDefault(x, x)
+              }
+              x
             }
-            x
+            it.foreach { case (a, b) =>
+              if (!parent.containsKey(a)) parent.put(a, a)
+              if (!parent.containsKey(b)) parent.put(b, b)
+              val ra = find(a)
+              val rb = find(b)
+              // min id becomes the root => component = min reachable id
+              if (ra < rb) parent.put(rb, ra)
+              else if (rb < ra) parent.put(ra, rb)
+            }
+            val out = Vector.newBuilder[(Long, Long)]
+            parent.keySet().forEach(n => out += ((n, find(n))))
+            out.result().iterator
           }
-          it.foreach { case (a, b) =>
-            if (!parent.containsKey(a)) parent.put(a, a)
-            if (!parent.containsKey(b)) parent.put(b, b)
-            val ra = find(a)
-            val rb = find(b)
-            // min id becomes the root => component = min reachable id
-            if (ra < rb) parent.put(rb, ra)
-            else if (rb < ra) parent.put(ra, rb)
+          .toDF("node", "component")
+      } else {
+        // binary-keyed variant: same union-find, keys wrapped for
+        // value-equality hashing and unsigned lexicographic order (the
+        // same order Spark's BinaryType comparisons use, so local and
+        // distributed strategies elect identical min roots)
+        edges
+          .select(col(srcCol), col(dstCol))
+          .as[(Array[Byte], Array[Byte])]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val parent = new java.util.HashMap[BinKey, BinKey]()
+            def find(x0: BinKey): BinKey = {
+              var x = x0
+              var p = parent.getOrDefault(x, x)
+              while (p != x) {
+                val gp = parent.getOrDefault(p, p)
+                parent.put(x, gp)
+                x = gp
+                p = parent.getOrDefault(x, x)
+              }
+              x
+            }
+            it.foreach { case (ab, bb) =>
+              val a = new BinKey(ab)
+              val b = new BinKey(bb)
+              if (!parent.containsKey(a)) parent.put(a, a)
+              if (!parent.containsKey(b)) parent.put(b, b)
+              val ra = find(a)
+              val rb = find(b)
+              val c = ra.compareTo(rb)
+              if (c < 0) parent.put(rb, ra)
+              else if (c > 0) parent.put(ra, rb)
+            }
+            val out = Vector.newBuilder[(Array[Byte], Array[Byte])]
+            parent.keySet().forEach(n => out += ((n.bytes, find(n).bytes)))
+            out.result().iterator
           }
-          val out = Vector.newBuilder[(Long, Long)]
-          parent.keySet().forEach(n => out += ((n, find(n))))
-          out.result().iterator
-        }
-        .toDF("node", "component")
+          .toDF("node", "component")
+      }
       // covers every edge-touched node incl. roots (root -> itself), which
       // satisfies both withAllNodes contracts
       return Checkpoints.cut(pairs)
@@ -193,8 +257,8 @@ object ConnectedComponents {
       // subtree multiple times — measured 5-10x slower than checkpointing
       // every round
       val cur = if (e == null)
-        orient(edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst")))
+        orient(edges.select(key(col(srcCol)).as("src"),
+          key(col(dstCol)).as("dst")))
       else e.df
       val next = Checkpoints.cut(round(cur))
       val nextChecksum = checksum(next.df)
@@ -216,8 +280,8 @@ object ConnectedComponents {
       .groupBy("node").agg(min("component").as("component"))
     val result =
       if (withAllNodes) {
-        val nodes = edges.select(col(srcCol).cast("long").as("node"))
-          .union(edges.select(col(dstCol).cast("long").as("node"))).distinct()
+        val nodes = edges.select(key(col(srcCol)).as("node"))
+          .union(edges.select(key(col(dstCol)).as("node"))).distinct()
         nodes.join(assign, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("component"), col("node")).as("component"))

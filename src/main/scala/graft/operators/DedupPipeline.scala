@@ -146,11 +146,22 @@ object DedupPipeline {
     }
 
     // ---- 1a. normalize (one narrow pass over all rows) ----
+    // id keying is type-agnostic downstream (every stage uses generic
+    // orderable/groupable column ops): LONG ids for the 64-bit path,
+    // BINARY (128-bit) ids pass through untouched for the 10^12-row
+    // contract — and then the exact-group key nh widens too (64-bit nh
+    // at 10^12 distinct norms expects ~10^4 birthday collisions, each a
+    // silent false exact-merge).
+    val wide = df.schema(idCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val idExpr = if (wide) col(idCol) else col(idCol).cast("long")
+    val nhExpr: Column => Column =
+      if (wide) n => unhex(md5(n)) else n => xxhash64(n)
     val rowsCut = graft.spark.Checkpoints.cut(
-      df.select(col(idCol).cast("long").as("id"),
+      df.select(idExpr.as("id"),
         col(textCol).cast("string").as("text"))
         .withColumn("norm", K.normKey(col("text")))
-        .withColumn("nh", xxhash64(col("norm"))))
+        .withColumn("nh", nhExpr(col("norm"))))
     val rows = rowsCut.df // read twice: exact stage + rep election
     val nRows = metric(rows.count())
 
@@ -317,19 +328,20 @@ object DedupPipeline {
     * probe ids.
     */
   private val verifyProbesInHost =
-    udf { (host: String, ps: Seq[org.apache.spark.sql.Row]) =>
-      // SuffixArrays.build requires length < 2^20 (int-packed rank pairs);
-      // a single pathological host must fall back to the direct scan, not
-      // crash the stage
-      if (ps.length >= 4 && host.length >= 64 &&
+    udf { (host: String, norms: Seq[String]) =>
+      // returns the 0-based POSITIONS of the matched probes, so the id
+      // column's type (long or 128-bit binary) never enters the kernel.
+      // SuffixArrays.build requires length < 2^20 (int-packed rank
+      // pairs); a single pathological host must fall back to the direct
+      // scan, not crash the stage
+      if (norms.length >= 4 && host.length >= 64 &&
           host.length < graft.kernel.SuffixArrays.MaxLength) {
         val sa = graft.kernel.SuffixArrays.build(host)
-        ps.collect {
-          case r if graft.kernel.SuffixArrays.containsSub(host, sa, r.getString(1)) =>
-            r.getLong(0)
+        norms.zipWithIndex.collect {
+          case (n, i) if graft.kernel.SuffixArrays.containsSub(host, sa, n) => i
         }
-      } else ps.collect {
-        case r if host.contains(r.getString(1)) => r.getLong(0)
+      } else norms.zipWithIndex.collect {
+        case (n, i) if host.contains(n) => i
       }
     }
 
@@ -373,8 +385,11 @@ object DedupPipeline {
       .filter(col("pn") <= cfg.hostProbeCap)
       .groupBy(col("b"), col("bnorm"))
       .agg(collect_list(struct(col("a"), col("anorm"))).as("ps"))
+      .select(col("b"), col("ps"),
+        explode(verifyProbesInHost(col("bnorm"),
+          transform(col("ps"), _.getField("anorm")))).as("i"))
       .select(col("b"),
-        explode(verifyProbesInHost(col("bnorm"), col("ps"))).as("a"))
+        element_at(col("ps"), col("i") + 1).getField("a").as("a"))
       .select(least(col("a"), col("b")).as("src"),
         greatest(col("a"), col("b")).as("dst"))
       .distinct()
