@@ -40,4 +40,5 @@ final class ParquetStageStore(spark: SparkSession, workDir: String)
     df.write.mode("overwrite").parquet(path(name))
   def appendMetrics(df: DataFrame): Unit =
     df.write.mode("append").parquet(s"$workDir/metrics")
+  def readMetrics(): DataFrame = spark.read.parquet(s"$workDir/metrics")
 }
