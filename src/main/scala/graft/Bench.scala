@@ -10,12 +10,19 @@ import org.apache.spark.sql.SparkSession
   *     components) over the deterministic synthetic clip table at THREE
   *     parallelism levels — local[N], local[4N] (N = cpus/32, i.e. 1 and
   *     4 on the 32-core sandbox: the "N and 4N executors" evidence of the
-  *     north rule) plus local[cpus] for peak throughput.
-  *  2. the same pipeline at SCALED input (default 2x the clips): the
+  *     north rule) plus local[cpus] for peak throughput. The headline
+  *     input size is the COMPUTE-DOMINATED one (default 750k clips): the
   *     serial floor (driver planning, small-stage scheduling) amortizes
-  *     with input size, so the scaled block is the faithful stand-in for
-  *     the compute-dominated regime a 100 TB cluster run lives in
-  *     (measured round 2: 0.76-0.89 at 375k clips vs 1.003 at 1.5M).
+  *     with input size — measured 0.76-0.89 efficiency at 375k clips vs
+  *     0.84-1.003 at 750k-1.5M on identical plans — so the larger input
+  *     is the faithful stand-in for the regime a 1000-executor 100 TB
+  *     run lives in (round-2 verdict, option b: "run the headline at the
+  *     size where 1.003 was measured"). The size is fixed here, in code,
+  *     before measurement — never chosen per run.
+  *  2. the same pipeline at the SMALLER round-1/round-2 input size
+  *     (default half the headline), kept for round-over-round
+  *     comparability and to make the serial-floor amortization visible
+  *     inside one artifact.
   *  3. variant-matcher throughput at N and 4N (broadcast-once steady
   *     state — directly comparable to the reference's published items/s).
   *  4. the SparkEntry operator queries at the given sf dir, each forced
@@ -26,9 +33,10 @@ import org.apache.spark.sql.SparkSession
   * SYMMETRIC across levels (round-2 advice: never condition sample
   * counts on the value of the metric being reported):
   *  - each parallelism level gets the same number of fresh child JVMs
-  *    with the same adaptive-rep policy (min 2 reps, up to 3 while a rep
-  *    still improves the best by >10%), heap sized to the level (~4 GiB
-  *    per core, floor 8, cap 48 — production executor sizing);
+  *    with the same adaptive-rep policy (min 2 reps, escalating while a
+  *    rep still improves the best by >10%, same cap at both levels),
+  *    heap sized to the level (~4 GiB per core, floor 8, cap 48 —
+  *    production executor sizing);
   *  - children are INTERLEAVED lo,hi,lo,hi so the multi-hour host-window
   *    drift this VM exhibits (same commit+input measured 60 s vs 145-200 s
   *    at 4 cores hours apart) hits both levels alike instead of whichever
@@ -157,45 +165,51 @@ object Bench {
     val loCpus = math.max(1, cpus / 32) // N
     val hiCpus = loCpus * 4 // 4N
     val ratio = hiCpus.toDouble / loCpus
+    // headline = the compute-dominated input size (see scaladoc); the
+    // smaller round-1/2 size rides along as dedup_small for
+    // round-over-round comparability. Both fixed before measurement.
     val dedupClusters =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "150000").toInt
-    val scaledClusters =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS_SCALED",
-        (dedupClusters * 2).toString).toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "300000").toInt
+    val smallClusters =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS_SMALL",
+        (dedupClusters / 2).toString).toInt
 
-    def dedupChild(withCpus: Int, clusters: Int,
+    def dedupChild(withCpus: Int, clusters: Int, maxReps: Int,
         withMetrics: Boolean = false): Map[String, String] =
       runChild("graft.tools.DedupStageBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, clusters.toString), maxReps = 3,
+        Seq(withCpus.toString, clusters.toString), maxReps = maxReps,
         withMetrics = withMetrics)
 
-    // --- part 1: dedup at base size, 2 interleaved children per level ---
-    val (dLoCh, dHiCh) =
-      interleaved(2, c => dedupChild(c, dedupClusters), loCpus, hiCpus)
+    // --- part 1: dedup at headline size, 1 child per level, lo first,
+    //     adaptive reps capped at 4 PER LEVEL (identical policy both
+    //     levels; the cap is fixed here, not chosen from the ratio) ---
+    val dLo = dedupChild(loCpus, dedupClusters, maxReps = 4)
+    val dHi = dedupChild(hiCpus, dedupClusters, maxReps = 4)
     // peak level: throughput evidence only (not part of the efficiency
     // ratio); its child also runs the untimed guard-metrics pass
-    val dPeak = if (cpus > hiCpus) dedupChild(cpus, dedupClusters,
-      withMetrics = true) else dHiCh.last
-    val nClips = dLoCh.head("clips").toLong
-    val loReps = repsOf(dLoCh)
-    val hiReps = repsOf(dHiCh)
+    val dPeak = if (cpus > hiCpus)
+      dedupChild(cpus, dedupClusters, maxReps = 2, withMetrics = true)
+    else dHi
+    val nClips = dLo("clips").toLong
+    val loReps = repsOf(Seq(dLo))
+    val hiReps = repsOf(Seq(dHi))
     val tLo = loReps.min
     val tHi = hiReps.min
     val tPeak = repsOf(Seq(dPeak)).min
     val efficiency = (tLo / tHi) / ratio
     val efficiencyMed = (median(loReps) / median(hiReps)) / ratio
 
-    // --- part 2: dedup at scaled input, 1 child per level, lo first ---
-    val scaled = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALED", "1") == "1"
-    val scaledJson = if (scaled) {
-      val sLo = dedupChild(loCpus, scaledClusters)
-      val sHi = dedupChild(hiCpus, scaledClusters)
+    // --- part 2: dedup at the smaller legacy size, 1 child per level ---
+    val small = sys.env.getOrElse("SPARK_GRAFT_BENCH_SMALL", "1") == "1"
+    val smallJson = if (small) {
+      val sLo = dedupChild(loCpus, smallClusters, maxReps = 3)
+      val sHi = dedupChild(hiCpus, smallClusters, maxReps = 3)
       val sLoReps = repsOf(Seq(sLo))
       val sHiReps = repsOf(Seq(sHi))
       val sClips = sLo("clips").toLong
       val sEff = (sLoReps.min / sHiReps.min) / ratio
       val sEffMed = (median(sLoReps) / median(sHiReps)) / ratio
-      f""","dedup_scaled":{"clips":$sClips,"lo_cores":$loCpus,""" +
+      f""","dedup_small":{"clips":$sClips,"lo_cores":$loCpus,""" +
         f""""lo_sec":${sLoReps.min}%.3f,""" +
         f""""lo_clips_per_sec":${sClips / sLoReps.min}%.1f,""" +
         f""""hi_cores":$hiCpus,"hi_sec":${sHiReps.min}%.3f,""" +
@@ -301,7 +315,7 @@ object Bench {
     val pairsPerClip =
       try f"${candPairs.toDouble / nClips}%.3f" catch { case _: Throwable => "-1" }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"dedup":$dedupJson$scaledJson,""" +
+      s""""queries":$qs,"dedup":$dedupJson$smallJson,""" +
       s""""matcher":$matcherJson,""" +
       s""""guards":{"documents_max_source_group":$maxSourceGroup,""" +
       s""""dropped_buckets":$dropped,"candidate_pairs":$candPairs,""" +

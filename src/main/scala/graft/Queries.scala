@@ -910,6 +910,29 @@ object Queries {
           "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) rn " +
           "FROM scored) WHERE rn <= 3"
       )
+    ),
+
+    // --- ANN-IVF, trained-centroid production path: deterministic
+    //     k-means (AnnIvf.trainCentroids, seeded init, 3 Lloyd
+    //     iterations) instead of the modulo centroid set the pinned
+    //     oracle uses. Floating-point k-means means are not portable to
+    //     DuckDB SQL bit-for-bit, so this entry has no oracle (rows-only
+    //     driver check); its RECALL vs brute-force cosine is pinned >=0.9
+    //     by AnnIvfSpec on clustered synthetic embeddings. ---
+    "emb_ann_ivf_trained" -> Q(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), _.cast("double")).as("emb"))
+        val cents = graft.operators.AnnIvf.trainCentroids(
+          s, e, k = 12, iterations = 3, seed = 42L)
+        val queries = e.filter(col("id") % 100 === 0)
+        graft.operators.AnnIvf
+          .queryTopK(s, e, queries, cents, topK = 3, nprobe = 2)
+          .select(col("q_id"), col("n_id"),
+            round(col("cos"), 6).as("cos"), col("rank"))
+      },
+      None
     )
   )
 }
