@@ -360,6 +360,72 @@ object Queries {
     //     integer hyperplanes, so the bucket keys are exact integer math
     //     and identical across engines; candidates meet queries only
     //     inside their bucket (an equi-join, not a cross join). ---
+    // --- Dedup: embedding-cosine near-dup pairs — the embedding twin of
+    //     dedup_lsh_pairs: sign-LSH banded candidate generation (2 bands
+    //     x 4 integer hyperplanes, the same deterministic planes as
+    //     emb_ann_lsh so the bucket bits are exact integer math on both
+    //     engines) -> exact cosine verify at the configured threshold.
+    //     Production scale: band value is the equi-join shuffle key,
+    //     candidates are banded (never all-pairs), verify sees candidate
+    //     pairs only. The synthetic embeddings are near-orthogonal (max
+    //     pairwise cos ~0.45), so the pinned threshold is 0.30; a real
+    //     embedding space runs the identical plan at ~0.9. ---
+    "dedup_embcos" -> Q(
+      (s, d) => {
+        val qexpr = transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long"))
+        def bandSig(planes: Seq[Seq[Long]]) = planes.zipWithIndex.map {
+          case (p, b) =>
+            val dot = aggregate(
+              zip_with(col("q"), array(p.map(lit): _*), (x, y) => x * y),
+              lit(0L), (acc, v) => acc + v)
+            when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), qexpr.as("q"),
+            transform(col("embedding"), _.cast("double")).as("emb"))
+          .withColumn("b0", bandSig(Queries.annPlanes.take(4)))
+          .withColumn("b1", bandSig(Queries.annPlanes.slice(4, 8)))
+          .select(col("vec_id"), col("emb"), col("b0"), col("b1"))
+        val keys = e.select(col("vec_id"), col("b0"), col("b1"))
+        def pairsOn(band: String) =
+          fanout(keys.as("a")).join(keys.as("b"),
+              col(s"a.$band") === col(s"b.$band") &&
+                col("a.vec_id") < col("b.vec_id"))
+            .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        val cand = pairsOn("b0").union(pairsOn("b1")).distinct()
+        val embs = e.select(col("vec_id"), col("emb"))
+        cand
+          .join(embs.select(col("vec_id").as("a_id"), col("emb").as("aemb")),
+            Seq("a_id"))
+          .join(embs.select(col("vec_id").as("b_id"), col("emb").as("bemb")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(T.cosineIn(s)(col("aemb"), col("bemb")), 6).as("cos"))
+          .filter(col("cos") >= 0.30)
+      },
+      Some {
+        def bandSql(base: Int) = Queries.annPlanes.slice(base, base + 4)
+          .zipWithIndex.map { case (p, b) =>
+            val planeLit = p.mkString("[", ",", "]")
+            s"(CASE WHEN list_sum(list_transform(range(1,65), " +
+              s"i -> q[i] * ($planeLit)[i])) > 0 THEN ${1L << b} ELSE 0 END)"
+          }.mkString(" + ")
+        "WITH e0 AS (SELECT vec_id, " +
+          "list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) q, " +
+          "list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings), " +
+          s"e AS (SELECT vec_id, emb, ${bandSql(0)} b0, ${bandSql(4)} b1 FROM e0), " +
+          "cand AS (SELECT a.vec_id a_id, b.vec_id b_id FROM e a JOIN e b " +
+          "ON a.b0 = b.b0 AND a.vec_id < b.vec_id " +
+          "UNION SELECT a.vec_id, b.vec_id FROM e a JOIN e b " +
+          "ON a.b1 = b.b1 AND a.vec_id < b.vec_id), " +
+          "scored AS (SELECT a_id, b_id, " +
+          "round(list_cosine_similarity(ea.emb, eb.emb),6) cos " +
+          "FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id) " +
+          "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.30"
+      }
+    ),
+
     "emb_ann_lsh" -> Q(
       (s, d) => {
         val qexpr = transform(col("embedding"),
