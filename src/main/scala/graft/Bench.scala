@@ -2,48 +2,68 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark (driver contract: ONE JSON line on stdout).
+/** Per-round benchmark. Driver contract: a JSON line on stdout; the
+  * driver tail-parses stdout, so this main prints a CUMULATIVE JSON line
+  * after every completed part (each a superset of the previous, final
+  * line marked "partial":false) — a timeout mid-protocol still leaves
+  * the headline numbers in the artifact instead of zeroing the round
+  * (round 3 shipped rc=124 / parsed:null because the old protocol both
+  * overran the driver window AND printed nothing until the very end).
+  * Each cumulative line is also mirrored to the BENCH_partial.json
+  * sidecar (best-effort).
   *
-  * Four parts:
+  * Parts, in the order of their evidentiary value:
   *  1. headline: the end-to-end clip-dedup pipeline (sketch -> merged
   *     LSH/simhash/anagram candidates -> kernel verify -> connected
-  *     components) over the deterministic synthetic clip table at THREE
-  *     parallelism levels — local[N], local[4N] (N = cpus/32, i.e. 1 and
-  *     4 on the 32-core sandbox: the "N and 4N executors" evidence of the
-  *     north rule) plus local[cpus] for peak throughput. The headline
-  *     input size is the COMPUTE-DOMINATED one (default 750k clips): the
-  *     serial floor (driver planning, small-stage scheduling) amortizes
-  *     with input size — measured 0.76-0.89 efficiency at 375k clips vs
-  *     0.84-1.003 at 750k-1.5M on identical plans — so the larger input
-  *     is the faithful stand-in for the regime a 1000-executor 100 TB
-  *     run lives in (round-2 verdict, option b: "run the headline at the
-  *     size where 1.003 was measured"). The size is fixed here, in code,
-  *     before measurement — never chosen per run.
-  *  2. the same pipeline at the SMALLER round-1/round-2 input size
-  *     (default half the headline), kept for round-over-round
-  *     comparability and to make the serial-floor amortization visible
-  *     inside one artifact.
+  *     components) over the deterministic synthetic clip table at
+  *     local[N] and local[4N] (N=1 on the 32-core sandbox — the
+  *     "N and 4N executors" evidence of the north rule; BASELINE.md
+  *     explains why the low-contention pair is the faithful cluster
+  *     stand-in) plus local[cpus] for peak throughput. Input size is the
+  *     COMPUTE-DOMINATED one (default 750k clips = 300k clusters): the
+  *     serial floor amortizes with input size — 0.76-0.89 efficiency
+  *     measured at 375k clips vs 0.84-1.003 at 750k-1.5M on identical
+  *     plans — so the larger input is the regime a 1000-executor 100 TB
+  *     run lives in. Size fixed here, in code, never chosen per run.
+  *  2. (default OFF, SPARK_GRAFT_BENCH_SMALL=1) the same pipeline at the
+  *     legacy round-1/2 size; round-over-round comparison lives in
+  *     BASELINE.md instead — the round-3 postmortem's arithmetic showed
+  *     this block alone cannot fit the driver window together with the
+  *     750k headline.
   *  3. variant-matcher throughput at N and 4N (broadcast-once steady
   *     state — directly comparable to the reference's published items/s).
   *  4. the SparkEntry operator queries at the given sf dir, each forced
-  *     end-to-end with a noop sink (count() would let Catalyst prune the
-  *     very columns being benchmarked).
+  *     end-to-end with a noop sink; deadline-aware (see budget below).
   *
   * Sampling protocol (BASELINE.md) — fixed BEFORE any measurement and
-  * SYMMETRIC across levels (round-2 advice: never condition sample
-  * counts on the value of the metric being reported):
-  *  - each parallelism level gets the same number of fresh child JVMs
-  *    with the same adaptive-rep policy (min 2 reps, escalating while a
-  *    rep still improves the best by >10%, same cap at both levels),
-  *    heap sized to the level (~4 GiB per core, floor 8, cap 48 —
-  *    production executor sizing);
-  *  - children are INTERLEAVED lo,hi,lo,hi so the multi-hour host-window
-  *    drift this VM exhibits (same commit+input measured 60 s vs 145-200 s
-  *    at 4 cores hours apart) hits both levels alike instead of whichever
-  *    level happened to run later;
-  *  - efficiency = (T_N/T_4N)/4 is reported from per-level min (floor
-  *    estimator) AND from per-level median (drift-robust); every rep is
-  *    echoed in the JSON so a noisy window is visible in the artifact.
+  * SYMMETRIC across levels (never condition sample counts on the value
+  * of the metric being reported):
+  *  - each efficiency level (lo and hi) gets ONE fresh child JVM running
+  *    EXACTLY 2 timed reps (min taken — the floor estimator; min-of-2
+  *    was the round-2 protocol that produced 0.76-0.91 official numbers
+  *    in-window), heap sized to the level (~4 GiB/core, floor 8, cap 48
+  *    — production executor sizing); peak runs 1 rep (throughput
+  *    evidence only, not part of any efficiency ratio);
+  *  - lo runs before hi within each part, parts interleave the levels
+  *    across the wall clock so multi-hour host-window drift (same
+  *    commit+input measured 60 s vs 145-200 s at 4 cores hours apart)
+  *    cannot systematically favor one level;
+  *  - efficiency = (T_N/T_4N)/4 from per-level min AND per-level median;
+  *    every rep is echoed in the JSON so a noisy window is visible.
+  *
+  * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
+  * protocol; this one is summed, with measured-at-commit-time inputs):
+  *   part 1 lo  child: JVM+gen+warmup ~180 s + 2 reps x ~430 s = ~1040 s
+  *   part 1 hi  child: ~60 s + 2 x ~115 s                      = ~290 s
+  *   part 1 peak child: ~45 s + 1 x ~60 s + metrics ~60 s      = ~165 s
+  *   part 3 lo  child: build+warmup ~60 s + 2 x ~105 s         = ~270 s
+  *   part 3 hi  child: ~40 s + 2 x ~30 s                       = ~100 s
+  *   part 4 sweep: ~150 s quiet, deadline-capped (1-rep mode / skip)
+  *   sum ~2015 s = ~34 min worst, ~25 min typical; vs the round-2 run
+  *   that completed in-window at 35.5 min — and unlike round 2/3, the
+  *   headline numbers are already on stdout after ~25 min worst. A
+  *   single transient child retry (runChild) can add one level's cost;
+  *   the deadline then sacrifices part 4, never parts 1/3.
   */
 object Bench {
 
@@ -74,11 +94,11 @@ object Bench {
     math.min(48, math.max(8, cpus * 4))
 
   /** Run a bench child JVM, return its RESULT line fields. Child stdout
-    * is consumed here (the parent's stdout must stay one JSON line);
-    * child stderr is drained to a buffer and replayed on failure.
+    * is consumed here (the parent's stdout must carry only the JSON
+    * lines); child stderr is drained to a buffer and replayed on failure.
     */
   private def runChild(mainClass: String, xmxGb: Int,
-      args: Seq[String], maxReps: Int = 3, withMetrics: Boolean = false,
+      args: Seq[String], maxReps: Int, withMetrics: Boolean = false,
       attempt: Int = 1): Map[String, String] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -86,6 +106,9 @@ object Bench {
       Seq("-cp", sys.props("java.class.path"), mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_BENCH_REPS", maxReps.toString)
+    // exact rep counts (minReps == maxReps): the budget above is a sum,
+    // not an estimate — adaptive escalation was the round-3 overrun
+    pb.environment().put("SPARK_GRAFT_BENCH_MIN_REPS", maxReps.toString)
     if (withMetrics) pb.environment().put("SPARK_GRAFT_STAGE_METRICS", "1")
     val p = pb.start()
     val errBuf = new java.lang.StringBuilder
@@ -137,23 +160,14 @@ object Bench {
   private def repsJson(xs: Seq[Double]): String =
     xs.map(t => f"$t%.3f").mkString("[", ",", "]")
 
-  /** Interleave `childrenPerLevel` fresh child JVMs per level, lo first:
-    * lo,hi,lo,hi... The per-level sample structure is identical by
-    * construction (symmetric sampling, no outcome conditioning).
-    */
-  private def interleaved(childrenPerLevel: Int,
-      runAt: Int => Map[String, String], loCpus: Int, hiCpus: Int)
-      : (Seq[Map[String, String]], Seq[Map[String, String]]) = {
-    val lo = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
-    val hi = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
-    for (_ <- 1 to childrenPerLevel) {
-      lo += runAt(loCpus)
-      hi += runAt(hiCpus)
-    }
-    (lo.toSeq, hi.toSeq)
-  }
-
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    // soft wall budget for the OPTIONAL tail (part 4 degrades first);
+    // parts 1 and 3 always run to completion — they are the artifact
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N-vs-4N protocol (BASELINE.md): N = 1, 4N = 4 on the 32-core box.
@@ -165,30 +179,57 @@ object Bench {
     val loCpus = math.max(1, cpus / 32) // N
     val hiCpus = loCpus * 4 // 4N
     val ratio = hiCpus.toDouble / loCpus
-    // headline = the compute-dominated input size (see scaladoc); the
-    // smaller round-1/2 size rides along as dedup_small for
-    // round-over-round comparability. Both fixed before measurement.
     val dedupClusters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "300000").toInt
-    val smallClusters =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS_SMALL",
-        (dedupClusters / 2).toString).toInt
+    // warmup bounded independently of n: it exists to JIT the kernel and
+    // compile codegen, not to re-run the workload (n/8 of the 750k
+    // headline would cost ~2 min of 1-core wall by itself)
+    val warmClusters = math.max(300, math.min(dedupClusters / 8, 20000))
+
+    // ---- cumulative emission ----------------------------------------
+    // One JSON line per completed part; the driver's tail-parse reads the
+    // LAST one. Every line carries the full schema of everything measured
+    // so far, so a timeout anywhere still ships parts 1..k.
+    var dedupJson = ""
+    var smallJson = ""
+    var matcherJson = ""
+    var queriesJson = "{}"
+    var queriesRepsJson = "{}"
+    var guardsJson = ""
+    var queriesTotal = 0.0
+    var peakSec = 0.0
+    val partsDone = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(finalLine: Boolean): Unit = {
+      val line =
+        s"""{"metric":"total","value":${peakSec + queriesTotal},"unit":"sec",""" +
+          s""""partial":${!finalLine},""" +
+          partsDone.map(p => "\"" + p + "\"").mkString("\"parts_done\":[", ",", "],") +
+          s""""queries":$queriesJson,"queries_reps":$queriesRepsJson,""" +
+          (if (dedupJson.nonEmpty) s""""dedup":$dedupJson,""" else "") +
+          (if (smallJson.nonEmpty) s""""dedup_small":$smallJson,""" else "") +
+          (if (matcherJson.nonEmpty) s""""matcher":$matcherJson,""" else "") +
+          (if (guardsJson.nonEmpty) s""""guards":$guardsJson,""" else "") +
+          f""""elapsed_sec":$elapsedSec%.1f,"sf":"$sfDir"}"""
+      println(line)
+      System.out.flush()
+      try {
+        val w = new java.io.PrintWriter("BENCH_partial.json")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () }
+    }
 
     def dedupChild(withCpus: Int, clusters: Int, maxReps: Int,
         withMetrics: Boolean = false): Map[String, String] =
       runChild("graft.tools.DedupStageBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, clusters.toString), maxReps = maxReps,
-        withMetrics = withMetrics)
+        Seq(withCpus.toString, clusters.toString, warmClusters.toString),
+        maxReps = maxReps, withMetrics = withMetrics)
 
-    // --- part 1: dedup at headline size, 1 child per level, lo first,
-    //     adaptive reps capped at 4 PER LEVEL (identical policy both
-    //     levels; the cap is fixed here, not chosen from the ratio) ---
-    val dLo = dedupChild(loCpus, dedupClusters, maxReps = 4)
-    val dHi = dedupChild(hiCpus, dedupClusters, maxReps = 4)
-    // peak level: throughput evidence only (not part of the efficiency
-    // ratio); its child also runs the untimed guard-metrics pass
+    // --- part 1: dedup headline; exactly 2 reps per efficiency level,
+    //     lo first; peak 1 rep + untimed guard-metrics pass ---
+    val dLo = dedupChild(loCpus, dedupClusters, maxReps = 2)
+    val dHi = dedupChild(hiCpus, dedupClusters, maxReps = 2)
     val dPeak = if (cpus > hiCpus)
-      dedupChild(cpus, dedupClusters, maxReps = 2, withMetrics = true)
+      dedupChild(cpus, dedupClusters, maxReps = 1, withMetrics = true)
     else dHi
     val nClips = dLo("clips").toLong
     val loReps = repsOf(Seq(dLo))
@@ -196,99 +237,10 @@ object Bench {
     val tLo = loReps.min
     val tHi = hiReps.min
     val tPeak = repsOf(Seq(dPeak)).min
+    peakSec = tPeak
     val efficiency = (tLo / tHi) / ratio
     val efficiencyMed = (median(loReps) / median(hiReps)) / ratio
-
-    // --- part 2: dedup at the smaller legacy size, 1 child per level ---
-    val small = sys.env.getOrElse("SPARK_GRAFT_BENCH_SMALL", "1") == "1"
-    val smallJson = if (small) {
-      val sLo = dedupChild(loCpus, smallClusters, maxReps = 3)
-      val sHi = dedupChild(hiCpus, smallClusters, maxReps = 3)
-      val sLoReps = repsOf(Seq(sLo))
-      val sHiReps = repsOf(Seq(sHi))
-      val sClips = sLo("clips").toLong
-      val sEff = (sLoReps.min / sHiReps.min) / ratio
-      val sEffMed = (median(sLoReps) / median(sHiReps)) / ratio
-      f""","dedup_small":{"clips":$sClips,"lo_cores":$loCpus,""" +
-        f""""lo_sec":${sLoReps.min}%.3f,""" +
-        f""""lo_clips_per_sec":${sClips / sLoReps.min}%.1f,""" +
-        f""""hi_cores":$hiCpus,"hi_sec":${sHiReps.min}%.3f,""" +
-        f""""hi_clips_per_sec":${sClips / sHiReps.min}%.1f,""" +
-        f""""scaling_efficiency":$sEff%.3f,""" +
-        f""""scaling_efficiency_median":$sEffMed%.3f,""" +
-        s""""lo_reps":${repsJson(sLoReps)},"hi_reps":${repsJson(sHiReps)}}"""
-    } else ""
-
-    // --- part 3: matcher at N and 4N, 1 child per level, lo first ---
-    val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "150000").toInt
-    def matcherChild(withCpus: Int): Map[String, String] =
-      runChild("graft.tools.MatcherSparkBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, "120000", nQueries.toString), maxReps = 3)
-    val (mLoCh, mHiCh) = interleaved(1, matcherChild, loCpus, hiCpus)
-    val mLoReps = repsOf(mLoCh)
-    val mHiReps = repsOf(mHiCh)
-    val tmLo = mLoReps.min
-    val tmHi = mHiReps.min
-    val mEfficiency = (tmLo / tmHi) / ratio
-    val mEfficiencyMed = (median(mLoReps) / median(mHiReps)) / ratio
-
-    // --- part 4: operator queries, noop sink, in-process at local[cpus] ---
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench-queries")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
-      .config("spark.local.dir", "/dev/shm/spark-local")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // sweep warmup: whichever query runs first in a cold JVM eats the
-    // codegen-compile + JIT cost of every shared path (measured: the
-    // same query 13.4s as the sweep opener vs 2.8s after two cheap
-    // openers). Warm the narrow-map, shuffle-agg, interpreted-HOF and
-    // self-join paths once, untimed, so the timed mins measure plans,
-    // not first-touch compilation.
-    for (w <- Seq("p01_normalize", "q1_agg", "text_fingerprint",
-        "p05_levenshtein_pairs"); fn <- SparkEntry.queries.get(w))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }
-    // min of two runs per query; queries still above the outlier bar get
-    // two more samples — host-window noise measured inflating a trivial
-    // group-by from 0.9s to 13s, and a single inflated sweep number
-    // misreads the whole round (round-2 postmortem: q_sessionize 10x)
-    val outlierSec = 3.0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var times = (1 to 2).map(_ => timeQuery(fn))
-      if (times.min > outlierSec) times = times ++ (1 to 2).map(_ => timeQuery(fn))
-      name -> times.min
-    }
-    // guard metric for the per-source self-join queries (p05/p06/
-    // dedup_jaccard/r4/r6): their pinned oracle semantics block on
-    // `source`, so their cost is quadratic in the LARGEST source group —
-    // fine while this bound stays O(100s); if the driver ever scales
-    // `documents` such that it grows, those queries must pre-block on
-    // band keys instead (the production dedup path already does).
-    val maxSourceGroup =
-      try graft.spark.Tables.documents(spark, sfDir)
-        .groupBy("source").count()
-        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-      catch { case _: Throwable => -1L }
-    spark.stop()
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = tPeak + results.values.sum
-    val dedupJson =
+    dedupJson =
       f"""{"clips":$nClips,"lo_cores":$loCpus,"lo_sec":$tLo%.3f,""" +
         f""""lo_clips_per_sec":${nClips / tLo}%.1f,"hi_cores":$hiCpus,""" +
         f""""hi_sec":$tHi%.3f,"hi_clips_per_sec":${nClips / tHi}%.1f,""" +
@@ -300,13 +252,6 @@ object Bench {
         s""""peak_reps":${repsJson(repsOf(Seq(dPeak)))},""" +
         s""""heap_gb":{"lo":${heapGbFor(loCpus)},"hi":${heapGbFor(hiCpus)},""" +
         s""""peak":${heapGbFor(cpus)}}}"""
-    val matcherJson =
-      f"""{"lexicon":120000,"queries":$nQueries,"lo_cores":$loCpus,""" +
-        f""""lo_items_per_sec":${nQueries / tmLo}%.1f,"hi_cores":$hiCpus,""" +
-        f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
-        f""""scaling_efficiency":$mEfficiency%.3f,""" +
-        f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
-        s""""lo_reps":${repsJson(mLoReps)},"hi_reps":${repsJson(mHiReps)}}"""
     // guard counters from the peak child's untimed metrics pass: the
     // recall accounting the hot-band cap promises, visible per round
     val dropped = dPeak.getOrElse("dropped", "-1")
@@ -314,12 +259,132 @@ object Bench {
     val verifiedEdges = dPeak.getOrElse("verified", "-1")
     val pairsPerClip =
       try f"${candPairs.toDouble / nClips}%.3f" catch { case _: Throwable => "-1" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"dedup":$dedupJson$smallJson,""" +
-      s""""matcher":$matcherJson,""" +
-      s""""guards":{"documents_max_source_group":$maxSourceGroup,""" +
-      s""""dropped_buckets":$dropped,"candidate_pairs":$candPairs,""" +
-      s""""verified_edges":$verifiedEdges,"pairs_per_clip":$pairsPerClip},""" +
-      s""""sf":"$sfDir"}""")
+    guardsJson =
+      s"""{"dropped_buckets":$dropped,"candidate_pairs":$candPairs,""" +
+        s""""verified_edges":$verifiedEdges,"pairs_per_clip":$pairsPerClip}"""
+    partsDone += "dedup"
+    emit(finalLine = false)
+
+    // --- part 2 (default OFF): dedup at the legacy smaller size ---
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SMALL", "0") == "1") {
+      val smallClusters =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS_SMALL",
+          (dedupClusters / 2).toString).toInt
+      val sLo = dedupChild(loCpus, smallClusters, maxReps = 2)
+      val sHi = dedupChild(hiCpus, smallClusters, maxReps = 2)
+      val sLoReps = repsOf(Seq(sLo))
+      val sHiReps = repsOf(Seq(sHi))
+      val sClips = sLo("clips").toLong
+      val sEff = (sLoReps.min / sHiReps.min) / ratio
+      val sEffMed = (median(sLoReps) / median(sHiReps)) / ratio
+      smallJson = f"""{"clips":$sClips,"lo_cores":$loCpus,""" +
+        f""""lo_sec":${sLoReps.min}%.3f,""" +
+        f""""lo_clips_per_sec":${sClips / sLoReps.min}%.1f,""" +
+        f""""hi_cores":$hiCpus,"hi_sec":${sHiReps.min}%.3f,""" +
+        f""""hi_clips_per_sec":${sClips / sHiReps.min}%.1f,""" +
+        f""""scaling_efficiency":$sEff%.3f,""" +
+        f""""scaling_efficiency_median":$sEffMed%.3f,""" +
+        s""""lo_reps":${repsJson(sLoReps)},"hi_reps":${repsJson(sHiReps)}}"""
+      partsDone += "dedup_small"
+      emit(finalLine = false)
+    }
+
+    // --- part 3: matcher at N and 4N, exactly 2 reps per level, lo first ---
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "150000").toInt
+    def matcherChild(withCpus: Int): Map[String, String] =
+      runChild("graft.tools.MatcherSparkBench", heapGbFor(withCpus),
+        Seq(withCpus.toString, "120000", nQueries.toString), maxReps = 2)
+    val mLo = matcherChild(loCpus)
+    val mHi = matcherChild(hiCpus)
+    val mLoReps = repsOf(Seq(mLo))
+    val mHiReps = repsOf(Seq(mHi))
+    val tmLo = mLoReps.min
+    val tmHi = mHiReps.min
+    val mEfficiency = (tmLo / tmHi) / ratio
+    val mEfficiencyMed = (median(mLoReps) / median(mHiReps)) / ratio
+    matcherJson =
+      f"""{"lexicon":120000,"queries":$nQueries,"lo_cores":$loCpus,""" +
+        f""""lo_items_per_sec":${nQueries / tmLo}%.1f,"hi_cores":$hiCpus,""" +
+        f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
+        f""""scaling_efficiency":$mEfficiency%.3f,""" +
+        f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
+        s""""lo_reps":${repsJson(mLoReps)},"hi_reps":${repsJson(mHiReps)}}"""
+    partsDone += "matcher"
+    emit(finalLine = false)
+
+    // --- part 4: operator queries, noop sink, in-process at local[cpus].
+    //     Deadline-aware: with < 240 s of budget left run 1 rep per query
+    //     (no outlier escalation); with < 90 s left skip the sweep — the
+    //     sweep is the least load-bearing part and the only one allowed
+    //     to degrade (parts 1/3 carry the north-rule numbers) ---
+    val remaining = budgetSec - elapsedSec
+    if (remaining > 90) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-bench-queries")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
+        .config("spark.local.dir", "/dev/shm/spark-local")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // sweep warmup: whichever query runs first in a cold JVM eats the
+      // codegen-compile + JIT cost of every shared path (measured: the
+      // same query 13.4s as the sweep opener vs 2.8s after two cheap
+      // openers). Warm the narrow-map, shuffle-agg, interpreted-HOF and
+      // self-join paths once, untimed, so the timed mins measure plans,
+      // not first-touch compilation.
+      for (w <- Seq("p01_normalize", "q1_agg", "text_fingerprint",
+          "p05_levenshtein_pairs"); fn <- SparkEntry.queries.get(w))
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+          : Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // min of two runs per query; queries still above the outlier bar
+      // get two more samples — host-window noise measured inflating a
+      // trivial group-by from 0.9s to 13s (round-2 postmortem). First-run
+      // times are echoed per query (queries_reps) so JIT inflation is
+      // visible in the artifact rather than explained in prose.
+      val onePass = remaining < 240
+      val outlierSec = 3.0
+      val results = SparkEntry.queries.map { case (name, fn) =>
+        var times = (1 to (if (onePass) 1 else 2)).map(_ => timeQuery(fn))
+        if (!onePass && times.min > outlierSec)
+          times = times ++ (1 to 2).map(_ => timeQuery(fn))
+        name -> times
+      }
+      // guard metric for the per-source self-join queries (p05/p06/
+      // dedup_jaccard/r4/r6): their pinned oracle semantics block on
+      // `source`, so their cost is quadratic in the LARGEST source group —
+      // fine while this bound stays O(100s); if the driver ever scales
+      // `documents` such that it grows, those queries must pre-block on
+      // band keys instead (the production dedup path already does).
+      val maxSourceGroup =
+        try graft.spark.Tables.documents(spark, sfDir)
+          .groupBy("source").count()
+          .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+        catch { case _: Throwable => -1L }
+      spark.stop()
+      queriesJson = results.map { case (k, v) => "\"" + k + "\":" + v.min }
+        .mkString("{", ",", "}")
+      queriesRepsJson = results
+        .map { case (k, v) => "\"" + k + "\":" + repsJson(v.toSeq) }
+        .mkString("{", ",", "}")
+      queriesTotal = results.values.map(_.min).sum
+      guardsJson = guardsJson.dropRight(1) +
+        s""","documents_max_source_group":$maxSourceGroup}"""
+      partsDone += "queries"
+    } else {
+      partsDone += "queries_skipped_deadline"
+    }
+    emit(finalLine = true)
   }
 }
