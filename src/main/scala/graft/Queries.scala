@@ -41,6 +41,16 @@ object Queries {
     Seq.fill(8)(Seq.fill(64)(next()))
   }
 
+  /** dedup_embcos config: the production [[graft.operators.EmbDedup]]
+    * operator at 4 bands x 16-bit keys — wide enough that no band key
+    * space is enumerable (65536 values/band), small enough that the
+    * 64-plane oracle SQL stays readable. Planes/quantization are shared
+    * between the Spark kernel and the interpolated oracle literals.
+    */
+  val embCfg: graft.operators.EmbDedupConfig =
+    graft.operators.EmbDedupConfig(dims = 64, bands = 4, bitsPerBand = 16,
+      seed = 42L, bucketCap = 64, cosThreshold = 0.90)
+
   // canonical cleaned text key shared by the dedup queries
   private def cleanK(len: Int): Column =
     substring(T.cleanText(col("text")), 1, len)
@@ -360,41 +370,55 @@ object Queries {
     //     integer hyperplanes, so the bucket keys are exact integer math
     //     and identical across engines; candidates meet queries only
     //     inside their bucket (an equi-join, not a cross join). ---
-    // --- Dedup: embedding-cosine near-dup pairs — the embedding twin of
-    //     dedup_lsh_pairs: sign-LSH banded candidate generation (2 bands
-    //     x 4 integer hyperplanes, the same deterministic planes as
-    //     emb_ann_lsh so the bucket bits are exact integer math on both
-    //     engines) -> exact cosine verify at the configured threshold.
-    //     Production scale: band value is the equi-join shuffle key,
-    //     candidates are banded (never all-pairs), verify sees candidate
-    //     pairs only. The synthetic embeddings are near-orthogonal (max
-    //     pairwise cos ~0.45), so the pinned threshold is 0.30; a real
-    //     embedding space runs the identical plan at ~0.9. ---
+    // --- Dedup: embedding-cosine near-dup pairs — pins the production
+    //     EmbDedup operator's semantics: WIDE (16-bit) sign-LSH bands of
+    //     deterministic integer hyperplanes, hot buckets CAPPED before
+    //     pairing (groupBy band key -> collect_list <= cap -> in-row
+    //     expansion — the dedup_lsh_pairs shape; never a self-join on a
+    //     narrow key), exact cosine verify on candidate pairs only. The
+    //     synthetic embeddings are mutually near-orthogonal, so the query
+    //     corpus unions each vector with a deterministic jittered TWIN
+    //     (cos ~0.99 — integer-derived jitter, identical on both engines):
+    //     real near-dups exist by construction and the wide bands recall
+    //     ~97% of them, exactly the regime the production operator runs
+    //     at 10^9 rows. Bucket membership is exact integer math (fixed-
+    //     point quantized vectors x integer planes) via the SAME JVM
+    //     kernel EmbDedup uses — bit-identical to the SQL form the
+    //     oracle states. ---
     "dedup_embcos" -> Q(
       (s, d) => {
-        val qexpr = transform(col("embedding"),
-          x => round(x.cast("double") * 1000).cast("long"))
-        def bandSig(planes: Seq[Seq[Long]]) = planes.zipWithIndex.map {
-          case (p, b) =>
-            val dot = aggregate(
-              zip_with(col("q"), array(p.map(lit): _*), (x, y) => x * y),
-              lit(0L), (acc, v) => acc + v)
-            when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), qexpr.as("q"),
-            transform(col("embedding"), _.cast("double")).as("emb"))
-          .withColumn("b0", bandSig(Queries.annPlanes.take(4)))
-          .withColumn("b1", bandSig(Queries.annPlanes.slice(4, 8)))
-          .select(col("vec_id"), col("emb"), col("b0"), col("b1"))
-        val keys = e.select(col("vec_id"), col("b0"), col("b1"))
-        def pairsOn(band: String) =
-          fanout(keys.as("a")).join(keys.as("b"),
-              col(s"a.$band") === col(s"b.$band") &&
-                col("a.vec_id") < col("b.vec_id"))
-            .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        val cand = pairsOn("b0").union(pairsOn("b1")).distinct()
-        val embs = e.select(col("vec_id"), col("emb"))
+        import graft.operators.EmbDedup
+        val cfg = Queries.embCfg
+        val src = Tables.embeddings(s, d)
+        val orig = src.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("emb"))
+        // deterministic twin: emb + ((vec_id*31 + i*7) % 11 - 5) * 0.004
+        // per dim i (0-based) — all-integer derivation, then one double
+        // add, so both engines compute the identical IEEE vector. The
+        // jitter is computed BEFORE re-keying: lateral column-alias
+        // resolution (both engines) would otherwise shadow vec_id with
+        // the re-keyed value inside the transform and shift the phase
+        val twin = src.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") +
+              ((col("vec_id") * 31 + i * 7) % 11 - 5).cast("double") *
+                lit(0.004)).as("emb"))
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+        val e = orig.union(twin)
+          .withColumn("q", transform(col("emb"),
+            x => round(x * cfg.quantScale).cast("long")))
+          .withColumn("sig", EmbDedup.bandBitsUdf(cfg)(col("q")))
+          .select(col("vec_id"), col("emb"),
+            posexplode(col("sig")).as(Seq("band", "bits")))
+        val buckets = e.groupBy(col("band"), col("bits"))
+          .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+          .filter(size(col("ids")).between(2, cfg.bucketCap))
+        val cand = buckets
+          .select(explode(col("ids")).as("a_id"), col("ids"))
+          .select(col("a_id"), explode(col("ids")).as("b_id"))
+          .filter(col("a_id") < col("b_id"))
+          .distinct()
+        val embs = orig.union(twin)
         cand
           .join(embs.select(col("vec_id").as("a_id"), col("emb").as("aemb")),
             Seq("a_id"))
@@ -402,27 +426,46 @@ object Queries {
             Seq("b_id"))
           .select(col("a_id"), col("b_id"),
             round(T.cosineIn(s)(col("aemb"), col("bemb")), 6).as("cos"))
-          .filter(col("cos") >= 0.30)
+          .filter(col("cos") >= 0.90)
       },
       Some {
-        def bandSql(base: Int) = Queries.annPlanes.slice(base, base + 4)
-          .zipWithIndex.map { case (p, b) =>
-            val planeLit = p.mkString("[", ",", "]")
-            s"(CASE WHEN list_sum(list_transform(range(1,65), " +
-              s"i -> q[i] * ($planeLit)[i])) > 0 THEN ${1L << b} ELSE 0 END)"
-          }.mkString(" + ")
-        "WITH e0 AS (SELECT vec_id, " +
-          "list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) q, " +
+        val cfg = Queries.embCfg
+        val planes = graft.operators.EmbDedup.planes(cfg)
+        def bandSql(band: Int) = (0 until cfg.bitsPerBand).map { j =>
+          val planeLit = planes(band * cfg.bitsPerBand + j)
+            .mkString("[", ",", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1,65), " +
+            s"i -> q[i] * ($planeLit)[i])) > 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        val bandRows = (0 until cfg.bands)
+          .map(b => s"SELECT vec_id, $b band, s$b bits FROM sig")
+          .mkString(" UNION ALL ")
+        val sigCols = (0 until cfg.bands)
+          .map(b => s"${bandSql(b)} s$b").mkString(", ")
+        "WITH orig AS (SELECT vec_id, " +
           "list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings), " +
-          s"e AS (SELECT vec_id, emb, ${bandSql(0)} b0, ${bandSql(4)} b1 FROM e0), " +
-          "cand AS (SELECT a.vec_id a_id, b.vec_id b_id FROM e a JOIN e b " +
-          "ON a.b0 = b.b0 AND a.vec_id < b.vec_id " +
-          "UNION SELECT a.vec_id, b.vec_id FROM e a JOIN e b " +
-          "ON a.b1 = b.b1 AND a.vec_id < b.vec_id), " +
+          // twin jitter must reference the SOURCE vec_id: computed in its
+          // own CTE because DuckDB lateral column aliases would otherwise
+          // shadow vec_id with the re-keyed value inside list_transform
+          "twin0 AS (SELECT vec_id, " +
+          "list_transform(range(1,65), i -> embedding[i]::DOUBLE + " +
+          "((((vec_id*31 + (i-1)*7) % 11) - 5)::DOUBLE * 0.004)) emb " +
+          "FROM embeddings), " +
+          "twin AS (SELECT vec_id + 1000000 vec_id, emb FROM twin0), " +
+          "e AS (SELECT * FROM orig UNION ALL SELECT * FROM twin), " +
+          "eq AS (SELECT vec_id, emb, " +
+          s"list_transform(emb, x -> round(x*${cfg.quantScale})::BIGINT) q FROM e), " +
+          s"sig AS (SELECT vec_id, $sigCols FROM eq), " +
+          "probes AS (SELECT * FROM (SELECT vec_id, band, bits, " +
+          s"count(*) OVER (PARTITION BY band, bits) n FROM ($bandRows)) " +
+          s"WHERE n BETWEEN 2 AND ${cfg.bucketCap}), " +
+          "cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
+          "FROM probes x JOIN probes y " +
+          "ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id), " +
           "scored AS (SELECT a_id, b_id, " +
           "round(list_cosine_similarity(ea.emb, eb.emb),6) cos " +
           "FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id) " +
-          "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.30"
+          "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.90"
       }
     ),
 
