@@ -369,7 +369,10 @@ object Queries {
     //     quantized to integers (round(x*1000)) and hashed against 8
     //     integer hyperplanes, so the bucket keys are exact integer math
     //     and identical across engines; candidates meet queries only
-    //     inside their bucket (an equi-join, not a cross join). ---
+    //     inside their bucket (an equi-join, not a cross join). The 8-bit
+    //     bucket count is pinned for the tiny sf tables; production sizes
+    //     bits ~ log2(N/targetBucket) via EmbDedupConfig.forScale — a
+    //     frozen bucket count makes the per-query scan linear in N. ---
     // --- Dedup: embedding-cosine near-dup pairs — pins the production
     //     EmbDedup operator's semantics: WIDE (16-bit) sign-LSH bands of
     //     deterministic integer hyperplanes, hot buckets CAPPED before
@@ -1033,6 +1036,9 @@ object Queries {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id").as("id"),
             transform(col("embedding"), _.cast("double")).as("emb"))
+        // k pinned small for the tiny sf tables; production derives
+        // k ~ sqrt(N) via AnnIvf.kForScale (a frozen k makes per-query
+        // scan cost linear in N — see the operator scaladoc)
         val cents = graft.operators.AnnIvf.trainCentroids(
           s, e, k = 12, iterations = 3, seed = 42L)
         val queries = e.filter(col("id") % 100 === 0)

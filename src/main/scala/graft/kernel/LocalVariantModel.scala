@@ -611,6 +611,16 @@ final class LocalVariantModel(
       val s = Scoring.score(dist, inputLength, weights)
       val freqScore = if (haveFreq) e.frequency.toDouble else 1.0
       if (freqScore > maxFreq) maxFreq = freqScore
+      // INTENTIONAL divergence from upstream: the reference's
+      // has_expandable_variants (lib.rs:1414-1427) triggers on
+      // vocabitem.variants.is_some(), which includes ReferenceFor-ONLY
+      // entries — expansion then finds nothing to expand but the
+      // transparent-drop/dedup passes still run. We trigger only on
+      // outgoing variantOf edges (what expansion actually consumes); a
+      // result set whose only "variants" are reference-for-only entries
+      // keeps transparent rows upstream would drop. Both graft strategies
+      // (this kernel and VariantMatcher.matchJoin) share this rule, so
+      // they stay mutually consistent (VariantMatcherSpec parity grid).
       if (!hasExpandable && e.variantOf.nonEmpty) hasExpandable = true
       if (s >= params.scoreThreshold)
         results += VariantResult(id, s, freqScore)
@@ -754,11 +764,14 @@ final class LocalVariantModel(
     *    start bumps the frequency by one — the exact consecutive-run rule
     *    of lib.rs:1103-1118, because within one run only the first pair
     *    bumps and a new word's first run is its insertion.
-    *  - `edges`: distinct (refId, input, firstScore) in first-occurrence
-    *    order of the pair that created each edge — [[addVariantById]]'s
-    *    internal dedup keeps the first insertion, so replaying only
-    *    distinct edges in first-occurrence order yields identical
-    *    variantOf/referenceFor list orders (the R3/R4 stability keys).
+    *  - `edges`: (refId, input, score) rows replayed PER OCCURRENCE in
+    *    (lineNo, seq) pair order — NOT pre-deduplicated. The reference's
+    *    add_variant_by_id (lib.rs:478-514) dedups only the referenceFor
+    *    direction; the variantOf list appends one entry per occurrence,
+    *    and J5 expansion's result multiplicity (hence R3/R4 tie order)
+    *    depends on that multiplicity. [[addVariantById]] applies the
+    *    same one-sided dedup internally, so replaying every occurrence
+    *    in order reproduces both list orders exactly.
     *
     * Vocab ids come out identical to the sequential fold: new entries are
     * appended in first-occurrence order before any edge is linked, and an

@@ -30,6 +30,16 @@ import graft.functions.{TextFns => T}
   */
 object AnnIvf {
 
+  /** Scale-aware cell count: k ~ sqrt(N) (see [[trainCentroids]]),
+    * clamped to [16, 10^5] — the upper bound keeps the centroid set
+    * comfortably broadcastable (10^5 x 1k-dim doubles ~ 800 MB is the
+    * ceiling; past that, shard queries by a coarse first-level quantizer
+    * instead of growing one broadcast).
+    */
+  def kForScale(expectedRows: Long): Int =
+    math.min(100000L,
+      math.max(16L, math.round(math.sqrt(expectedRows.toDouble)))).toInt
+
   /** Cosine column helper (native codegen'd expression when registered). */
   private def cos(s: SparkSession)(a: Column, b: Column): Column =
     T.cosineIn(s)(a, b)
@@ -50,11 +60,25 @@ object AnnIvf {
         first(col("emb")).as("emb"))
   }
 
-  /** Deterministic k-means training over (id, emb) vectors. Returns the
-    * centroid DataFrame (c_id: 0..k-1, c_emb). `sampleN`: train on the
-    * sampleN vectors with the smallest seeded hash instead of the full
-    * table (training cost is O(sample·k·iters); assignment of the full
-    * table happens once, at query build).
+  /** k-means training over (id, emb) vectors. Returns the centroid
+    * DataFrame (c_id: 0..k-1, c_emb). `sampleN`: train on the sampleN
+    * vectors with the smallest seeded hash instead of the full table
+    * (training cost is O(sample·k·iters); assignment of the full table
+    * happens once, at query build; requires sampleN >= k).
+    *
+    * SCALE the cell count with the corpus: per-query scan cost is
+    * O(nprobe·N/k) rows and assignment cost O(N·k) cosines, so k ~ sqrt(N)
+    * balances them (k=1000 at 10^6 rows, k~10^5 at 10^10 — still a
+    * broadcastable centroid set). Use [[kForScale]] rather than a fixed
+    * constant: a frozen k makes query cost LINEAR in N.
+    *
+    * Deterministic up to floating-point summation order: init and
+    * assignment are exact (seeded hashes, cosine comparisons on fixed
+    * inputs), but the centroid update averages doubles with avg(), whose
+    * partial-aggregate merge order Spark does not pin across shuffle
+    * fetches — same seed means same centroids only to ~1 ulp
+    * reassociation noise, not necessarily bit-identity (AnnIvfSpec
+    * compares with tolerance).
     */
   def trainCentroids(
       spark: SparkSession,
@@ -64,18 +88,23 @@ object AnnIvf {
       seed: Long = 42L,
       sampleN: Int = 0
   ): DataFrame = {
+    require(sampleN == 0 || sampleN >= k,
+      s"sampleN ($sampleN) must be 0 (train on all) or >= k ($k)")
     val hashed = vectors
       .withColumn("h", xxhash64(col("id"), lit(seed)))
+    // the seeded hash rides along so centroid init reads the (persisted)
+    // sample, never a second full-table TakeOrdered pass
     val train0 =
-      if (sampleN > 0)
-        hashed.orderBy(col("h")).limit(sampleN).drop("h")
-      else hashed.drop("h")
+      if (sampleN > 0) hashed.orderBy(col("h")).limit(sampleN)
+      else hashed
     val train = train0.persist()
     try {
       // init: k smallest seeded hashes, renumbered 0..k-1 in hash order
-      // (two-phase rank — no no-partition window even on the k-row set)
+      // (two-phase rank — no no-partition window even on the k-row set);
+      // for sampleN >= k these are exactly the k smallest of the full
+      // table, so sampling never changes the init
       var cents = graft.spark.Ranks
-        .globalSortId(hashed.orderBy(col("h")).limit(k), col("h"), "c_id")
+        .globalSortId(train.orderBy(col("h")).limit(k), col("h"), "c_id")
         .select(col("c_id"), col("emb").as("c_emb"))
         .persist()
       cents.count() // materialize before the loop re-plans

@@ -381,6 +381,10 @@ object DedupPipeline {
     val wprobe = Window.partitionBy("b").orderBy(col("a"))
     probes.join(hosts, Seq("akey"))
       .filter(col("alen") < col("blen"))
+      // the cap counts DISTINCT probes by construction: each probe row
+      // carries exactly ONE akey (its min shingle) and the host side
+      // explodes a DISTINCT shingle set, so a given (a, b) pair can meet
+      // on at most one join row — no dedup needed before the cap
       .withColumn("pn", row_number().over(wprobe))
       .filter(col("pn") <= cfg.hostProbeCap)
       .groupBy(col("b"), col("bnorm"))

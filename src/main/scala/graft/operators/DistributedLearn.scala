@@ -53,6 +53,14 @@ final case class LearnPartSummary(
   * graft.spark.Ranks). Driver traffic is bounded by the number of
   * DISTINCT strings/edges learned, which must fit the model (and hence
   * the broadcast) anyway.
+  *
+  * CEILING, stated plainly: learn mode's capacity limit is "the model
+  * (vocab + variantOf lists) fits in driver memory and a broadcast" —
+  * the distribution parallelizes the MATCHING over an unbounded corpus,
+  * it does not shard the model. This is the reference's own ceiling
+  * (its model is process-resident, lib.rs:50-100); removing it would
+  * mean a partitioned model with distributed edge lists, which no
+  * caller has needed.
   */
 object DistributedLearn {
 
