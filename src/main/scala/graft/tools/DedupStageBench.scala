@@ -11,6 +11,46 @@ import graft.sources.ClipGen
   * Usage: runMain graft.tools.DedupStageBench <cpus> <nClusters>
   */
 object DedupStageBench {
+
+  /** Fixed-work memory-bandwidth calibration: a STREAM-triad-like pass
+    * (a(i) = b(i) + 3*c(i)) over 3 x 16M-long arrays per thread,
+    * `threads` threads, 6 timed passes after 1 warm pass. The work is
+    * deterministic and independent of the benchmark input, so its wall
+    * time calibrates the HOST WINDOW: the sandbox VM's multi-core
+    * throughput swings up to ~2.5x on 10-30 min episodes (hypervisor
+    * neighbors on the shared memory bus — measured 106 s vs 245 s for
+    * the identical 4-core dedup rep 90 min apart), and echoing this
+    * number beside each rep makes a degraded window visible IN the
+    * artifact instead of being an after-the-fact claim. ~1-2 s quiet.
+    */
+  def bandwidthCalib(threads: Int): Double = {
+    val n = 16 << 20
+    val workers = (0 until threads).map { _ =>
+      new Thread {
+        val a = new Array[Long](n)
+        val b = new Array[Long](n)
+        val c = new Array[Long](n)
+        var sink = 0L
+        private def pass(): Unit = {
+          var i = 0
+          while (i < n) { a(i) = b(i) + 3 * c(i); i += 1 }
+          sink += a(n - 1)
+        }
+        pass() // fault + warm
+        var calibSec = 0.0
+        override def run(): Unit = {
+          val t0 = System.nanoTime()
+          var r = 0
+          while (r < 6) { pass(); r += 1 }
+          calibSec = (System.nanoTime() - t0) / 1e9
+        }
+      }
+    }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
+    workers.map(_.calibSec).max
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val n = args(1).toInt
@@ -47,6 +87,10 @@ object DedupStageBench {
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       val minReps =
         math.min(maxReps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_REPS", "2").toInt)
+      // window calibration before the first and after the last timed rep
+      // (see bandwidthCalib): inflated calib <=> inflated reps = a host
+      // episode, visible in the artifact next to the numbers it taints
+      val calibPre = bandwidthCalib(cpus)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var continue = true
       while (continue) {
@@ -74,11 +118,14 @@ object DedupStageBench {
           s" dropped=${m.nDroppedBuckets} cand=${m.nCandidatePairs}" +
             s" verified=${m.nVerifiedEdges} clusters=${m.nClusters}"
         } else ""
+      val calibPost = bandwidthCalib(cpus)
       System.err.println(
-        f"[dedup-phase] TOTAL ${times.min}%.2fs clips=$total cpus=$cpus")
+        f"[dedup-phase] TOTAL ${times.min}%.2fs clips=$total cpus=$cpus " +
+          f"calib=$calibPre%.2f/$calibPost%.2f")
       // machine-readable line for the Bench orchestrator (child-JVM mode)
       println(f"RESULT dedup min=${times.min}%.3f " +
         s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
+        f"calib=$calibPre%.3f,$calibPost%.3f " +
         s"clips=$total cpus=$cpus" + guards)
     } finally spark.stop()
   }
