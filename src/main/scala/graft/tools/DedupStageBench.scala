@@ -21,7 +21,15 @@ object DedupStageBench {
     * neighbors on the shared memory bus — measured 106 s vs 245 s for
     * the identical 4-core dedup rep 90 min apart), and echoing this
     * number beside each rep makes a degraded window visible IN the
-    * artifact instead of being an after-the-fact claim. ~1-2 s quiet.
+    * artifact instead of being an after-the-fact claim.
+    *
+    * Callers pass a FIXED thread count (8, not the child's core count):
+    * the probe must SATURATE the shared bus to feel what a multi-core
+    * Spark stage feels — per-level threading measured 0.22 s at 4
+    * threads in the same window where the 4-core dedup rep ran 2-4x
+    * inflated (under-threaded streaming is concurrency-bound, not
+    * bandwidth-bound) — and a fixed count keeps the number comparable
+    * across the lo/hi/peak children. ~0.3-0.5 s quiet at 8 threads.
     */
   def bandwidthCalib(threads: Int): Double = {
     val n = 16 << 20
@@ -90,7 +98,7 @@ object DedupStageBench {
       // window calibration before the first and after the last timed rep
       // (see bandwidthCalib): inflated calib <=> inflated reps = a host
       // episode, visible in the artifact next to the numbers it taints
-      val calibPre = bandwidthCalib(cpus)
+      val calibPre = bandwidthCalib(8)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var continue = true
       while (continue) {
@@ -118,7 +126,7 @@ object DedupStageBench {
           s" dropped=${m.nDroppedBuckets} cand=${m.nCandidatePairs}" +
             s" verified=${m.nVerifiedEdges} clusters=${m.nClusters}"
         } else ""
-      val calibPost = bandwidthCalib(cpus)
+      val calibPost = bandwidthCalib(8)
       System.err.println(
         f"[dedup-phase] TOTAL ${times.min}%.2fs clips=$total cpus=$cpus " +
           f"calib=$calibPre%.2f/$calibPost%.2f")
