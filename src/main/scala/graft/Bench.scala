@@ -203,12 +203,14 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     // soft wall budget for the OPTIONAL tail (peak, then sweep, degrade
     // first; the 3c escalation outranks both); parts 1/3/3b always run
-    // to completion — they are the artifact. 2400 s keeps the worst-case
-    // all-parts sum from being attempted when the earlier parts already
-    // ate the window; every part boundary emits a complete cumulative
-    // line, so a driver kill in the tail loses only the tail.
+    // to completion — they are the artifact. Generous on purpose: in a
+    // degraded host window (when the escalation matters most) elapsed
+    // time is inflated too, and a tight budget would cancel the
+    // escalation exactly when it is needed; every part boundary emits a
+    // complete cumulative line, so a driver kill in the tail loses only
+    // the tail, never the shipped headline.
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
