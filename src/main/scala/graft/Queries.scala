@@ -1077,30 +1077,97 @@ object Queries {
       )
     ),
 
-    // --- ANN-IVF, trained-centroid production path: deterministic
-    //     k-means (AnnIvf.trainCentroids, seeded init, 3 Lloyd
-    //     iterations) instead of the modulo centroid set the pinned
-    //     oracle uses. Floating-point k-means means are not portable to
-    //     DuckDB SQL bit-for-bit, so this entry has no oracle (rows-only
-    //     driver check); its RECALL vs brute-force cosine is pinned >=0.9
-    //     by AnnIvfSpec on clustered synthetic embeddings. ---
+    // --- ANN-IVF, trained-centroid production path: 3 Lloyd iterations
+    //     refining the modulo-50 init — INTEGER-EXACT end-to-end
+    //     (AnnIvf.trainCentroidsQuant): vectors live on the fixed-point
+    //     grid round(x*1000), per-cell means re-quantize to the grid via
+    //     round(sum/count) with exact integer sums, and every cosine the
+    //     training or the search orders by is computed from
+    //     integer-valued doubles (dots and norms < 2^53, hence exact),
+    //     rounded to 6 decimals. The oracle unrolls the SAME three
+    //     iterations as SQL CTEs — the centroids, assignments and top-k
+    //     are bit-identical across engines, which is what flips this
+    //     entry from rows-only to a full hash-match row. The float
+    //     production path (AnnIvf.trainCentroids, k~sqrt(N) via
+    //     kForScale) keeps its recall >=0.9 pin in AnnIvfSpec. ---
     "emb_ann_ivf_trained" -> Q(
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id").as("id"),
-            transform(col("embedding"), _.cast("double")).as("emb"))
-        // k pinned small for the tiny sf tables; production derives
-        // k ~ sqrt(N) via AnnIvf.kForScale (a frozen k makes per-query
-        // scan cost linear in N — see the operator scaladoc)
-        val cents = graft.operators.AnnIvf.trainCentroids(
-          s, e, k = 12, iterations = 3, seed = 42L)
-        val queries = e.filter(col("id") % 100 === 0)
-        graft.operators.AnnIvf
-          .queryTopK(s, e, queries, cents, topK = 3, nprobe = 2)
-          .select(col("q_id"), col("n_id"),
-            round(col("cos"), 6).as("cos"), col("rank"))
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000).cast("long")).as("q"))
+        val init = e.filter(col("id") % 50 === 0)
+          .select(col("id").as("c_id"), col("q").as("c_emb"))
+        val cents = graft.operators.AnnIvf
+          .trainCentroidsQuant(s, e, init, iterations = 3)
+        val eD = e.select(col("id"),
+          transform(col("q"), _.cast("double")).as("emb"))
+        val cD = cents.select(col("c_id"),
+          transform(col("c_emb"), _.cast("double")).as("c_emb"))
+        val cellCos = eD.crossJoin(broadcast(cD))
+          .select(col("id"), col("emb"), col("c_id"),
+            round(T.cosineIn(s)(col("emb"), col("c_emb")), 6).as("ccos"))
+        val asgn = cellCos.groupBy(col("id"))
+          .agg(
+            max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
+            first(col("emb")).as("emb"))
+        val wq = Window.partitionBy(col("id"))
+          .orderBy(col("ccos").desc, col("c_id"))
+        val probes = cellCos.filter(col("id") % 100 === 0)
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+          .select(col("id").as("q_id"), col("emb").as("q_emb"), col("c_id"))
+        val scored = probes.join(asgn, Seq("c_id"))
+          .filter(col("id") =!= col("q_id"))
+          .select(col("q_id"), col("id").as("n_id"),
+            round(T.cosineIn(s)(col("q_emb"), col("emb")), 6).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
       },
-      None
+      Some {
+        // one Lloyd iteration: assign (rounded integer-exact cosine,
+        // ties to lowest c_id) -> per-cell per-dim mean re-quantized to
+        // the grid -> empty cells keep the previous centroid
+        def iter(k: Int): String = {
+          val prev = s"c${k - 1}"
+          s"a$k AS (SELECT id, q, c_id FROM (" +
+            "SELECT e.id, e.q, c.c_id, row_number() OVER (PARTITION BY e.id " +
+            "ORDER BY round(list_cosine_similarity(" +
+            "list_transform(e.q, x -> x::DOUBLE), " +
+            "list_transform(c.c, x -> x::DOUBLE)),6) DESC, c.c_id) rn " +
+            s"FROM e CROSS JOIN $prev c) WHERE rn = 1), " +
+            s"m$k AS (SELECT c_id, list(v ORDER BY i) c FROM (" +
+            s"SELECT c_id, i, round(avg(q[i]))::BIGINT v FROM a$k, " +
+            "range(1,65) t(i) GROUP BY c_id, i) GROUP BY c_id), " +
+            s"c$k AS (SELECT p.c_id, coalesce(m.c, p.c) c " +
+            s"FROM $prev p LEFT JOIN m$k m USING (c_id))"
+        }
+        "WITH e AS (SELECT vec_id id, " +
+          "list_transform(embedding, x -> round(x::DOUBLE*1000)::BIGINT) q " +
+          "FROM embeddings), " +
+          "c0 AS (SELECT id c_id, q c FROM e WHERE id % 50 = 0), " +
+          (1 to 3).map(iter).mkString(", ") + ", " +
+          "ed AS (SELECT id, list_transform(q, x -> x::DOUBLE) emb FROM e), " +
+          "cd AS (SELECT c_id, list_transform(c, x -> x::DOUBLE) c_emb FROM c3), " +
+          "cc AS (SELECT id, emb, c_id, " +
+          "round(list_cosine_similarity(emb, c_emb),6) ccos " +
+          "FROM ed CROSS JOIN cd), " +
+          "asgn AS (SELECT id, emb, c_id FROM (SELECT id, emb, c_id, " +
+          "row_number() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) rn " +
+          "FROM cc) WHERE rn = 1), " +
+          "probes AS (SELECT id q_id, emb q_emb, c_id FROM (" +
+          "SELECT id, emb, c_id, row_number() OVER (PARTITION BY id " +
+          "ORDER BY ccos DESC, c_id) rn FROM cc WHERE id % 100 = 0) " +
+          "WHERE rn <= 2), " +
+          "scored AS (SELECT q_id, a.id n_id, " +
+          "round(list_cosine_similarity(q_emb, a.emb),6) cos " +
+          "FROM probes p JOIN asgn a ON a.c_id = p.c_id AND a.id <> p.q_id) " +
+          "SELECT q_id, n_id, cos, rank FROM (SELECT q_id, n_id, cos, " +
+          "CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) " +
+          "AS INT) rank FROM scored) WHERE rank <= 3"
+      }
     )
   )
 }

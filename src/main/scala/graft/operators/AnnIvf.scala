@@ -133,6 +133,62 @@ object AnnIvf {
     } finally train.unpersist()
   }
 
+  /** Integer-exact Lloyd training on the fixed-point grid: `vectors` is
+    * (id, q: array<long>) — embeddings quantized round(x*scale) — and
+    * `init` provides the starting centroids (c_id, c_emb: array<long>).
+    * Each iteration assigns by round(cosine, 6) (ties to the lowest
+    * c_id) and re-quantizes the per-cell mean back to the grid via
+    * round(sum/count); the sums are exact integer arithmetic (longs of
+    * magnitude ~scale, partial double sums stay below 2^53, hence exact
+    * in ANY accumulation order), so the trained centroids are
+    * BIT-IDENTICAL across engines, partitionings and hardware — unlike
+    * [[trainCentroids]], whose float avg() is deterministic only to ~1
+    * ulp. This is what lets the `emb_ann_ivf_trained` query carry a
+    * full DuckDB oracle (the oracle unrolls the same iterations in SQL).
+    * Empty cells keep their previous centroid, as in [[trainCentroids]].
+    *
+    * Same scale shape as the float path: broadcast centroids, max_by
+    * assignment, two keyed aggregations per iteration — the grid only
+    * changes the element type, not the plan.
+    */
+  def trainCentroidsQuant(
+      spark: SparkSession,
+      vectors: DataFrame,
+      init: DataFrame,
+      iterations: Int = 3
+  ): DataFrame = {
+    var cents = init.persist()
+    cents.count()
+    for (_ <- 1 to iterations) {
+      val cellCos = vectors.crossJoin(broadcast(cents))
+        .select(col("id"), col("q"), col("c_id"),
+          round(cos(spark)(
+            transform(col("q"), _.cast("double")),
+            transform(col("c_emb"), _.cast("double"))), 6).as("ccos"))
+      val asgn = cellCos.groupBy(col("id"))
+        .agg(
+          max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
+          first(col("q")).as("q"))
+      val means = asgn
+        .select(col("c_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(round(avg(col("v"))).cast("long").as("v"))
+        .groupBy(col("c_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          e => e.getField("v")).as("c_emb"))
+      val next = cents.select(col("c_id"), col("c_emb").as("prev_emb"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("c_emb"), col("prev_emb")).as("c_emb"))
+        .persist()
+      next.count()
+      cents.unpersist()
+      cents = next
+    }
+    cents
+  }
+
   /** ANN top-k: for each query vector, the k nearest non-self vectors by
     * cosine among the query's top-`nprobe` cells. `vectors` and `queries`
     * both (id, emb); output (q_id, n_id, cos, rank).

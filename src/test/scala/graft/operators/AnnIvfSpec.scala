@@ -99,6 +99,31 @@ class AnnIvfSpec extends SparkSpecBase {
     assert(AnnIvf.kForScale(100000000000L) == 100000)
   }
 
+  test("quantized training is BIT-identical across partitionings (the oracle contract)") {
+    import spark.implicits._
+    val data = clusteredVectors(nClusters = 4, perCluster = 30, dim = 8)
+    val vectors = data.toDF("id", "emb")
+      .select(col("id"),
+        transform(col("emb"), x => round(x * 1000).cast("long")).as("q"))
+    val init = vectors.filter(col("id") % 30 === 0)
+      .select(col("id").as("c_id"), col("q").as("c_emb"))
+    def centroidRows(parts: Int) = {
+      val c = AnnIvf.trainCentroidsQuant(spark,
+        vectors.repartition(parts), init, iterations = 3)
+      val rows = c.orderBy("c_id").as[(Long, Seq[Long])].collect().toSeq
+      c.unpersist()
+      rows
+    }
+    // integer grid + exact integer sums: unlike the float path's ~1 ulp
+    // tolerance, ANY partitioning must give the same longs — this is the
+    // property the emb_ann_ivf_trained DuckDB oracle relies on
+    val (a, b) = (centroidRows(1), centroidRows(7))
+    assert(a == b, "quantized centroids differ across partitionings")
+    // and the centroids moved off the init (training actually trains)
+    val initRows = init.orderBy("c_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(a.map(_._2) != initRows.map(_._2), "Lloyd iterations were a no-op")
+  }
+
   test("sampled training still clusters (sampleN < n)") {
     import spark.implicits._
     val data = clusteredVectors(nClusters = 5, perCluster = 40, dim = 8)
