@@ -3,14 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark. Driver contract: a JSON line on stdout; the
-  * driver tail-parses stdout, so this main prints a CUMULATIVE JSON line
-  * after every completed part (each a superset of the previous, final
-  * line marked "partial":false) — a timeout mid-protocol still leaves
-  * the headline numbers in the artifact instead of zeroing the round
-  * (round 3 shipped rc=124 / parsed:null because the old protocol both
-  * overran the driver window AND printed nothing until the very end).
-  * Each cumulative line is also mirrored to the BENCH_partial.json
-  * sidecar (best-effort).
+  * driver tail-parses a ~2-3 KB stdout tail and takes the LAST line
+  * starting with `{`. Two line kinds per completed part, in order:
+  *  - a CUMULATIVE full-schema line (each a superset of the previous,
+  *    final one marked "partial":false) — mirrored to the
+  *    BENCH_partial.json sidecar (best-effort);
+  *  - then a COMPACT headline line (< ~1 KB: the north-rule numbers,
+  *    suspect flags, guards, and a "full" pointer to the sidecar).
+  * The compact twin is printed LAST so the tail-parse always finds a
+  * complete parseable line: round 4 completed (rc=0) yet shipped
+  * parsed:null because the full-schema line had grown to 2,801 bytes
+  * and its head fell outside the tail window; round 3 shipped rc=124 /
+  * parsed:null because the old protocol both overran the driver window
+  * AND printed nothing until the very end. A timeout mid-protocol still
+  * leaves parts 1..k on stdout, each ending in a short `{`-line.
   *
   * Parts, in the order of their evidentiary value:
   *  1. headline: the end-to-end clip-dedup pipeline (sketch -> merged
@@ -71,6 +77,22 @@ import org.apache.spark.sql.SparkSession
   *    FIRST hi child (efficiency from 2 hi reps) and re-emitted with
   *    the refined 4-rep value after the second — a driver kill between
   *    them still ships a complete headline.
+  *  - escalation (part 3c) is SYMMETRIC, bounded at ONE extra child per
+  *    run: an extra lo child when efficiency reads > 1.0 (>1 is
+  *    physically impossible for this job — it means the lo floor is
+  *    episode-inflated, the direction that FABRICATES efficiency; the
+  *    round-4 official run printed 1.128 exactly this way) or when the
+  *    lo level's calibration probes never saw a quiet window; else an
+  *    extra hi child when efficiency reads < 0.85 or the hi calibs were
+  *    all degraded. With a min-floor estimator, one-sided hi-only
+  *    resampling could only ever RAISE the reported number; the
+  *    symmetric trigger removes that bias — extra samples of whichever
+  *    level is suspect tighten its floor toward the true time, in the
+  *    direction honesty requires. The calib gate (min calib of a level
+  *    > 2x the quiet reference measured in BASELINE.md) is independent
+  *    of the metric value; per-level `lo_suspect`/`hi_suspect` flags in
+  *    the artifact self-document any reading whose windows were all
+  *    degraded.
   *
   * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
   * protocol; this one is summed, with inputs measured from the round-4
@@ -83,12 +105,16 @@ import org.apache.spark.sql.SparkSession
   *     -> matcher on stdout by ~1680 s = ~28 min worst
   *   part 3b hi-B child: ~60 s + 2 x ~135 s                     = ~330 s
   *     -> refined headline on stdout by ~2010 s = ~34 min worst
-  *   part 3c hi-C child (ONLY if efficiency < 0.85 and > 400 s of
-  *     budget remain; bounded at one child):                    = ~330 s
+  *   part 3c (symmetric escalation, at most ONE of):
+  *     lo-B child, 1 rep (efficiency > 1.0 or lo calib-suspect,
+  *       > 700 s of budget remain)                              = ~580 s
+  *     hi-C child, 2 reps (efficiency < 0.85 or hi calib-suspect,
+  *       > 400 s of budget remain)                              = ~330 s
   *   part 4 peak child: ~45 s + 1 x ~145 s + metrics ~60 s      = ~250 s
   *     (skipped when < 300 s of soft budget remain)
-  *   part 5 sweep: ~150 s quiet, deadline-capped (1-rep mode / skip)
-  *   north-rule parts land on stdout at 22/28/34(/39 escalated) min
+  *   part 5 sweep: ~160 s quiet (incl. the ~10 s emb-guards pass),
+  *     deadline-capped (1-rep mode / skip)
+  *   north-rule parts land on stdout at 22/28/34(/43 escalated) min
   *   worst — each line a complete artifact, so a driver kill anywhere
   *   past ~22 min still ships a headline — and the budget-conditional
   *   tail (escalation, then peak, then sweep) degrades in reverse
@@ -231,34 +257,60 @@ object Bench {
     val warmClusters = math.max(300, math.min(dedupClusters / 8, 20000))
 
     // ---- cumulative emission ----------------------------------------
-    // One JSON line per completed part; the driver's tail-parse reads the
-    // LAST one. Every line carries the full schema of everything measured
-    // so far, so a timeout anywhere still ships parts 1..k.
+    // Two lines per completed part: the CUMULATIVE full-schema line
+    // (superset of everything measured so far — timeout anywhere still
+    // ships parts 1..k), then a COMPACT < ~1 KB headline twin printed
+    // LAST so the driver's bounded tail-parse always lands on a complete
+    // `{`-line (the round-4 full line grew to 2,801 B and overflowed the
+    // tail window). The sidecar carries the full line.
     var dedupJson = ""
     var smallJson = ""
     var matcherJson = ""
     var queriesJson = "{}"
     var queriesRepsJson = "{}"
-    var guardsJson = ""
     var queriesTotal = 0.0
-    var peakSec = 0.0
+    var hiSec = 0.0 // best 4-core headline time (parts 1/3b/3c)
+    var peakSec = -1.0 // local[cpus] peak time; -1 until part 4 runs
+    var dedupCompact = ""
+    var matcherCompact = ""
+    // guard counters accumulate across parts (peak metrics pass, sweep)
+    val guards = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def guardsJson: String =
+      guards.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val partsDone = scala.collection.mutable.ArrayBuffer.empty[String]
     def emit(finalLine: Boolean): Unit = {
-      val line =
-        s"""{"metric":"total","value":${peakSec + queriesTotal},"unit":"sec",""" +
-          s""""partial":${!finalLine},""" +
-          partsDone.map(p => "\"" + p + "\"").mkString("\"parts_done\":[", ",", "],") +
-          s""""queries":$queriesJson,"queries_reps":$queriesRepsJson,""" +
-          (if (dedupJson.nonEmpty) s""""dedup":$dedupJson,""" else "") +
-          (if (smallJson.nonEmpty) s""""dedup_small":$smallJson,""" else "") +
-          (if (matcherJson.nonEmpty) s""""matcher":$matcherJson,""" else "") +
-          (if (guardsJson.nonEmpty) s""""guards":$guardsJson,""" else "") +
-          f""""elapsed_sec":$elapsedSec%.1f,"sf":"$sfDir"}"""
-      println(line)
+      // "value" sums only parts that actually ran; value_def names the
+      // definition so the number is comparable across rounds (peak is
+      // budget-conditional — without it the hi-level headline stands in)
+      val valueDef =
+        (if (peakSec >= 0) "peak_sec" else "hi_sec") + "+queries_total"
+      val value = (if (peakSec >= 0) peakSec else hiSec) + queriesTotal
+      val head =
+        f"""{"metric":"total","value":$value%.3f,"unit":"sec",""" +
+          s""""value_def":"$valueDef","partial":${!finalLine},"""
+      val full = head +
+        f""""hi_sec":$hiSec%.3f,"peak_sec":$peakSec%.3f,""" +
+        f""""queries_total":$queriesTotal%.3f,""" +
+        partsDone.map(p => "\"" + p + "\"").mkString("\"parts_done\":[", ",", "],") +
+        s""""queries":$queriesJson,"queries_reps":$queriesRepsJson,""" +
+        (if (dedupJson.nonEmpty) s""""dedup":$dedupJson,""" else "") +
+        (if (smallJson.nonEmpty) s""""dedup_small":$smallJson,""" else "") +
+        (if (matcherJson.nonEmpty) s""""matcher":$matcherJson,""" else "") +
+        (if (guards.nonEmpty) s""""guards":$guardsJson,""" else "") +
+        f""""elapsed_sec":$elapsedSec%.1f,"sf":"$sfDir"}"""
+      val compact = head +
+        (if (dedupCompact.nonEmpty) s""""dedup":$dedupCompact,""" else "") +
+        (if (matcherCompact.nonEmpty) s""""matcher":$matcherCompact,""" else "") +
+        (if (guards.nonEmpty) s""""guards":$guardsJson,""" else "") +
+        f""""queries_total":$queriesTotal%.3f,"elapsed_sec":$elapsedSec%.1f,""" +
+        s""""sf":"$sfDir","full":"BENCH_partial.json"}"""
+      println(full)
+      println(compact)
       System.out.flush()
       try {
         val w = new java.io.PrintWriter("BENCH_partial.json")
-        try w.println(line) finally w.close()
+        try w.println(full) finally w.close()
       } catch { case _: Throwable => () }
     }
 
@@ -274,41 +326,69 @@ object Bench {
     //     peak (throughput-only evidence) moves to part 4 behind a
     //     budget check so it can never delay the headline ---
     val dLo = dedupChild(loCpus, dedupClusters, maxReps = 2)
+    val loChildren = scala.collection.mutable.ArrayBuffer(dLo)
     val hiChildren = scala.collection.mutable.ArrayBuffer(
       dedupChild(hiCpus, dedupClusters, maxReps = 2))
     val nClips = dLo("clips").toLong
-    val loReps = repsOf(Seq(dLo))
+    def loReps = repsOf(loChildren.toSeq)
     def hiReps = repsOf(hiChildren.toSeq)
-    val tLo = loReps.min
+    def tLo = loReps.min
     def tHi = hiReps.min
-    peakSec = tHi
+    hiSec = tHi
     def efficiency = (tLo / tHi) / ratio
     def efficiencyMed = (median(loReps) / median(hiReps)) / ratio
-    def renderDedupJson(peak: Option[Map[String, String]]): String = {
+    // quiet floor of bandwidthCalib(8) on this box (BASELINE.md,
+    // re-measured 2026-08-18 after the probe resize). A level is SUSPECT
+    // when its best calib reading exceeds 2x this — every window that
+    // level ran in was degraded; the flag rides in the artifact so an
+    // implausible efficiency self-documents, and it feeds the symmetric
+    // escalation below (a trigger independent of the metric value).
+    val calibQuietRef =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_QUIET_REF", "0.22").toDouble
+    def levelSuspect(children: Seq[Map[String, String]]): Boolean = {
+      val c = calibOf(children)
+      c.nonEmpty && c.min > 2 * calibQuietRef
+    }
+    def loSuspect = levelSuspect(loChildren.toSeq)
+    def hiSuspect = levelSuspect(hiChildren.toSeq)
+    def renderDedup(peak: Option[Map[String, String]]): Unit = {
       val peakPart = peak.map { dPeak =>
         val tPeak = repsOf(Seq(dPeak)).min
         f""""peak_cores":$cpus,"peak_sec":$tPeak%.3f,""" +
           f""""peak_clips_per_sec":${nClips / tPeak}%.1f,""" +
           s""""peak_reps":${repsJson(repsOf(Seq(dPeak)))},"""
       }.getOrElse("")
-      f"""{"clips":$nClips,"lo_cores":$loCpus,"lo_sec":$tLo%.3f,""" +
-        f""""lo_clips_per_sec":${nClips / tLo}%.1f,"hi_cores":$hiCpus,""" +
-        f""""hi_sec":$tHi%.3f,"hi_clips_per_sec":${nClips / tHi}%.1f,""" +
-        peakPart +
-        f""""scaling_efficiency":$efficiency%.3f,""" +
-        f""""scaling_efficiency_median":$efficiencyMed%.3f,""" +
-        s""""lo_reps":${repsJson(loReps)},"hi_reps":${repsJson(hiReps)},""" +
-        // host-window calibration beside the reps it contextualizes: the
-        // same fixed memory-bandwidth probe per child, pre/post the timed
-        // reps — inflated calib <=> a host episode, not a plan change
-        s""""calib_sec":{"lo":${repsJson(calibOf(Seq(dLo)))},""" +
-        s""""hi":${repsJson(calibOf(hiChildren.toSeq))}""" +
-        peak.map(p => s""","peak":${repsJson(calibOf(Seq(p)))}""")
-          .getOrElse("") + "}," +
-        s""""heap_gb":{"lo":${heapGbFor(loCpus)},"hi":${heapGbFor(hiCpus)},""" +
-        s""""peak":${heapGbFor(cpus)}}}"""
+      dedupJson =
+        f"""{"clips":$nClips,"lo_cores":$loCpus,"lo_sec":$tLo%.3f,""" +
+          f""""lo_clips_per_sec":${nClips / tLo}%.1f,"hi_cores":$hiCpus,""" +
+          f""""hi_sec":$tHi%.3f,"hi_clips_per_sec":${nClips / tHi}%.1f,""" +
+          peakPart +
+          f""""scaling_efficiency":$efficiency%.3f,""" +
+          f""""scaling_efficiency_median":$efficiencyMed%.3f,""" +
+          s""""lo_suspect":$loSuspect,"hi_suspect":$hiSuspect,""" +
+          s""""calib_quiet_ref":$calibQuietRef,""" +
+          s""""lo_reps":${repsJson(loReps)},"hi_reps":${repsJson(hiReps)},""" +
+          // host-window calibration beside the reps it contextualizes:
+          // the same fixed memory-bandwidth probe per child, pre/post the
+          // timed reps — inflated calib <=> a host episode, not a plan
+          // change
+          s""""calib_sec":{"lo":${repsJson(calibOf(loChildren.toSeq))},""" +
+          s""""hi":${repsJson(calibOf(hiChildren.toSeq))}""" +
+          peak.map(p => s""","peak":${repsJson(calibOf(Seq(p)))}""")
+            .getOrElse("") + "}," +
+          s""""heap_gb":{"lo":${heapGbFor(loCpus)},"hi":${heapGbFor(hiCpus)},""" +
+          s""""peak":${heapGbFor(cpus)}}}"""
+      dedupCompact =
+        f"""{"clips":$nClips,"lo_clips_per_sec":${nClips / tLo}%.1f,""" +
+          f""""hi_clips_per_sec":${nClips / tHi}%.1f,""" +
+          peak.map { p =>
+            f""""peak_clips_per_sec":${nClips / repsOf(Seq(p)).min}%.1f,"""
+          }.getOrElse("") +
+          f""""scaling_efficiency":$efficiency%.3f,""" +
+          f""""scaling_efficiency_median":$efficiencyMed%.3f,""" +
+          s""""lo_suspect":$loSuspect,"hi_suspect":$hiSuspect}"""
     }
-    dedupJson = renderDedupJson(None)
+    renderDedup(None)
     partsDone += "dedup"
     emit(finalLine = false)
 
@@ -356,6 +436,11 @@ object Bench {
         f""""scaling_efficiency":$mEfficiency%.3f,""" +
         f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
         s""""lo_reps":${repsJson(mLoReps)},"hi_reps":${repsJson(mHiReps)}}"""
+    matcherCompact =
+      f"""{"lo_items_per_sec":${nQueries / tmLo}%.1f,""" +
+        f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
+        f""""scaling_efficiency":$mEfficiency%.3f,""" +
+        f""""scaling_efficiency_median":$mEfficiencyMed%.3f}"""
     partsDone += "matcher"
     emit(finalLine = false)
 
@@ -366,25 +451,39 @@ object Bench {
     //     leaves the other's floor intact. Same fixed rep budget (4 hi
     //     total), decided before any measurement ---
     hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 2)
-    peakSec = tHi
-    dedupJson = renderDedupJson(None)
+    hiSec = tHi
+    renderDedup(None)
     partsDone += "dedup_resample"
     emit(finalLine = false)
 
-    // --- part 3c (escalation, bounded at ONE extra child): if the
-    //     refined efficiency still reads below 0.85, take one more
-    //     2-rep hi window. Floor-estimator-sound (round-2 protocol,
-    //     BASELINE.md): extra samples of the NOISY level can only
-    //     tighten its min toward the true time, never manufacture
-    //     speedup, and every rep is echoed in hi_reps so the escalation
-    //     is visible in the artifact. Unlike round 3's uncapped adaptive
-    //     reps this is a single summed-in child, and it outranks peak
-    //     (throughput evidence) for the remaining budget ---
-    if (efficiency < 0.85 && budgetSec - elapsedSec > 400) {
+    // --- part 3c (SYMMETRIC escalation, bounded at ONE extra child):
+    //     an implausibly HIGH reading (efficiency > 1.0 — physically
+    //     impossible, the signature of an episode-inflated lo floor,
+    //     round 4's official 1.128) or an all-degraded lo calib set
+    //     buys one extra 1-rep lo child at a later wall-clock point;
+    //     otherwise a LOW reading (< 0.85) or all-degraded hi calibs buy
+    //     one extra 2-rep hi child. Floor-estimator-sound in BOTH
+    //     directions: extra samples of the suspect level only tighten
+    //     its min toward the true time — toward LOWER reported
+    //     efficiency on the lo side, higher on the hi side — so the
+    //     escalation can no longer only pump the headline the flattering
+    //     way (the round-4 asymmetry ADVICE flagged). The calib triggers
+    //     are independent of the metric value; every rep is echoed in
+    //     lo_reps/hi_reps. Lo outranks hi: an inflated lo FABRICATES
+    //     efficiency, which is the direction that must never ship
+    //     uncorrected. ---
+    if ((efficiency > 1.0 || loSuspect) && budgetSec - elapsedSec > 700) {
+      loChildren += dedupChild(loCpus, dedupClusters, maxReps = 1)
+      hiSec = tHi
+      renderDedup(None)
+      partsDone += "dedup_escalate_lo"
+      emit(finalLine = false)
+    } else if ((efficiency < 0.85 || hiSuspect) &&
+        budgetSec - elapsedSec > 400) {
       hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 2)
-      peakSec = tHi
-      dedupJson = renderDedupJson(None)
-      partsDone += "dedup_escalate"
+      hiSec = tHi
+      renderDedup(None)
+      partsDone += "dedup_escalate_hi"
       emit(finalLine = false)
     }
 
@@ -396,18 +495,16 @@ object Bench {
       val dPeak = dedupChild(cpus, dedupClusters, maxReps = 1,
         withMetrics = true)
       peakSec = repsOf(Seq(dPeak)).min
-      dedupJson = renderDedupJson(Some(dPeak))
+      renderDedup(Some(dPeak))
       // guard counters from the peak child's untimed metrics pass: the
       // recall accounting the hot-band cap promises, visible per round
-      val dropped = dPeak.getOrElse("dropped", "-1")
       val candPairs = dPeak.getOrElse("cand", "-1")
-      val verifiedEdges = dPeak.getOrElse("verified", "-1")
-      val pairsPerClip =
-        try f"${candPairs.toDouble / nClips}%.3f"
-        catch { case _: Throwable => "-1" }
-      guardsJson =
-        s"""{"dropped_buckets":$dropped,"candidate_pairs":$candPairs,""" +
-          s""""verified_edges":$verifiedEdges,"pairs_per_clip":$pairsPerClip}"""
+      guards ++= Seq(
+        "dropped_buckets" -> dPeak.getOrElse("dropped", "-1"),
+        "candidate_pairs" -> candPairs,
+        "verified_edges" -> dPeak.getOrElse("verified", "-1"),
+        "pairs_per_clip" -> (try f"${candPairs.toDouble / nClips}%.3f"
+        catch { case _: Throwable => "-1" }))
       partsDone += "peak"
       emit(finalLine = false)
     } else if (cpus > hiCpus) {
@@ -438,9 +535,14 @@ object Bench {
       // same query 13.4s as the sweep opener vs 2.8s after two cheap
       // openers). Warm the narrow-map, shuffle-agg, interpreted-HOF and
       // self-join paths once, untimed, so the timed mins measure plans,
-      // not first-touch compilation.
+      // not first-touch compilation. dedup_jaccard + variant_matcher are
+      // in the list because their paths (array_intersect HOF, the
+      // matcher's broadcast kernel) share nothing with the cheap openers
+      // — round 4's 1-rep sweep shipped 17.9s/9.2s first-touch numbers
+      // for 3.1s/1.8s queries.
       for (w <- Seq("p01_normalize", "q1_agg", "text_fingerprint",
-          "p05_levenshtein_pairs"); fn <- SparkEntry.queries.get(w))
+          "p05_levenshtein_pairs", "dedup_jaccard", "variant_matcher");
+          fn <- SparkEntry.queries.get(w))
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -474,6 +576,21 @@ object Bench {
           .groupBy("source").count()
           .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
         catch { case _: Throwable => -1L }
+      guards += "documents_max_source_group" -> maxSourceGroup.toString
+      // embedding-path guard counters: EmbDedup over the twin corpus at
+      // this sf, untimed — the same candidate-discipline accounting the
+      // text pipeline ships (dropped buckets = documented lost recall),
+      // visible per run instead of only in EmbDedupSpec
+      try {
+        val (_, em) = graft.operators.EmbDedup.run(spark,
+          Queries.embTwinCorpus(spark, sfDir), "vec_id", "emb",
+          Queries.embCfg, collectMetrics = true)
+        guards ++= Seq(
+          "emb_candidate_pairs" -> em.nCandidatePairs.toString,
+          "emb_dropped_buckets" -> em.nDroppedBuckets.toString,
+          "emb_verified_edges" -> em.nVerifiedEdges.toString,
+          "emb_clusters" -> em.nClusters.toString)
+      } catch { case _: Throwable => () }
       spark.stop()
       queriesJson = results.map { case (k, v) => "\"" + k + "\":" + v.min }
         .mkString("{", ",", "}")
@@ -481,11 +598,6 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + repsJson(v.toSeq) }
         .mkString("{", ",", "}")
       queriesTotal = results.values.map(_.min).sum
-      guardsJson =
-        if (guardsJson.isEmpty)
-          s"""{"documents_max_source_group":$maxSourceGroup}"""
-        else guardsJson.dropRight(1) +
-          s""","documents_max_source_group":$maxSourceGroup}"""
       partsDone += "queries"
     } else {
       partsDone += "queries_skipped_deadline"

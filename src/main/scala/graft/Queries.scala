@@ -60,7 +60,7 @@ object Queries {
     * stage (lateral column-alias resolution would otherwise shadow
     * vec_id with the re-keyed value, engine-dependently).
     */
-  private def embTwinCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embTwinCorpus(s: SparkSession, d: String): DataFrame = {
     val src = Tables.embeddings(s, d)
     val orig = src.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("emb"))

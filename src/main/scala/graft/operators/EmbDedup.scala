@@ -124,8 +124,15 @@ object EmbDedup {
     val ps = planes(cfg)
     val bands = cfg.bands
     val bits = cfg.bitsPerBand
+    val dims = cfg.dims
     udf { (q: Seq[Long]) =>
       val qa = q.toArray
+      // a dims mismatch means the config doesn't match the data — a
+      // silently truncated dot product would produce WRONG signatures
+      // (bucket misses = quietly lost recall), so fail loudly; null
+      // embeddings are filtered upstream in bandKeys
+      require(qa.length == dims,
+        s"embedding length ${qa.length} != configured dims $dims")
       val out = new Array[Long](bands)
       var b = 0
       while (b < bands) {
@@ -135,8 +142,7 @@ object EmbDedup {
           val p = ps(b * bits + j)
           var dot = 0L
           var i = 0
-          val n = math.min(qa.length, p.length)
-          while (i < n) { dot += qa(i) * p(i); i += 1 }
+          while (i < dims) { dot += qa(i) * p(i); i += 1 }
           if (dot > 0) sig |= (1L << j)
           j += 1
         }
@@ -154,7 +160,11 @@ object EmbDedup {
   def bandKeys(df: DataFrame, idCol: String, embCol: String,
       cfg: EmbDedupConfig): DataFrame = {
     val bb = bandBitsUdf(cfg)
-    df.select(col(idCol).as("id"),
+    // null embeddings can't be signed — they drop out of candidate
+    // generation (an unembedded row has no near-dup evidence to offer);
+    // a wrong-LENGTH embedding still fails loudly inside the kernel
+    df.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"),
         posexplode(bb(quantize(col(embCol), cfg))).as(Seq("band", "bits")))
       .select(col("id"), xxhash64(col("band"), col("bits")).as("k"))
   }
@@ -180,8 +190,18 @@ object EmbDedup {
   }
 
   /** Verified near-dup pairs: banded candidates -> exact cosine >=
-    * threshold. Returns (pairs(a, b, cos), metrics); metrics actions are
-    * skipped when collectMetrics=false (each is a separate job).
+    * threshold. Returns (pairs(a, b, cos), metrics).
+    *
+    * With collectMetrics=true the metric counts are extra actions, so
+    * the intermediate frames (band keys, candidate pairs, the verified
+    * result) are persisted around them — without that, each count
+    * recomputed the signature UDF over all rows and the candidate DAG
+    * 4-5x, a hidden multiplier at 10^9-row scale. keyed/cand are
+    * unpersisted here; the RETURNED verified frame stays persisted so
+    * the caller's first action reuses it instead of re-verifying —
+    * [[run]] releases it once the clustering is materialized, other
+    * callers own that unpersist. collectMetrics=false (the oracle/bench
+    * path) persists nothing and runs exactly one job.
     */
   def nearDupPairs(spark: SparkSession, df: DataFrame, idCol: String,
       embCol: String, cfg: EmbDedupConfig = EmbDedupConfig(),
@@ -190,22 +210,26 @@ object EmbDedup {
     val rows = df.select(col(idCol).as("id"),
       transform(col(embCol), _.cast("double")).as("emb"))
     val nRows = metric(rows.count())
-    val keyed = bandKeys(df, idCol, embCol, cfg)
+    val keyed0 = bandKeys(df, idCol, embCol, cfg)
+    val keyed = if (collectMetrics) keyed0.persist() else keyed0
     val nDropped = metric(keyed.groupBy("k").agg(count(lit(1)).as("n"))
       .filter(col("n") > cfg.bucketCap).count())
-    val cand = pairsFromKeys(keyed, cfg)
+    val cand0 = pairsFromKeys(keyed, cfg)
+    val cand = if (collectMetrics) cand0.persist() else cand0
     val nCand = metric(cand.count())
     // vectors arrive by shuffle-hash join: no sort of the candidate
     // stream, no driver-side broadcast build of an N-row vector table
     val embs = rows.hint("SHUFFLE_HASH")
-    val verified = cand
+    val verified0 = cand
       .join(embs.select(col("id").as("a"), col("emb").as("aemb")), Seq("a"))
       .join(embs.select(col("id").as("b"), col("emb").as("bemb")), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.TextFns.cosineIn(spark)(col("aemb"), col("bemb"))
           .as("cos"))
       .filter(col("cos") >= cfg.cosThreshold)
+    val verified = if (collectMetrics) verified0.persist() else verified0
     val nVerified = metric(verified.count())
+    if (collectMetrics) { keyed.unpersist(); cand.unpersist() }
     (verified,
       EmbDedupMetrics(nRows, nCand, nDropped, nVerified, -1L))
   }
@@ -227,6 +251,9 @@ object EmbDedup {
         .select(col("id"),
           coalesce(col("component"), col("id")).as("cluster"))).df
     cc.release()
+    // the clustering is materialized (eager cut) — release the verified
+    // cache nearDupPairs left for us on the metrics path
+    if (collectMetrics) pairs.unpersist()
     val nClusters =
       if (collectMetrics) assignments.select("cluster").distinct().count()
       else -1L

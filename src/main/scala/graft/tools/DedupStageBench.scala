@@ -13,8 +13,8 @@ import graft.sources.ClipGen
 object DedupStageBench {
 
   /** Fixed-work memory-bandwidth calibration: a STREAM-triad-like pass
-    * (a(i) = b(i) + 3*c(i)) over 3 x 16M-long arrays per thread,
-    * `threads` threads, 6 timed passes after 1 warm pass. The work is
+    * (a(i) = b(i) + 3*c(i)) over 3 x 4M-long arrays per thread,
+    * `threads` threads, 24 timed passes after 1 warm pass. The work is
     * deterministic and independent of the benchmark input, so its wall
     * time calibrates the HOST WINDOW: the sandbox VM's multi-core
     * throughput swings up to ~2.5x on 10-30 min episodes (hypervisor
@@ -23,16 +23,28 @@ object DedupStageBench {
     * number beside each rep makes a degraded window visible IN the
     * artifact instead of being an after-the-fact claim.
     *
+    * Sizing: 3 x 32 MB per thread (~0.77 GiB total at 8 threads — small
+    * enough to never pressure a clip-cache-resident 8 GiB child heap,
+    * large enough that the 96 MB/thread working set can't sit in L3) x
+    * 24 passes = the same ~18 GB of bus traffic as the original
+    * 3-GiB-footprint probe, so the reading stays a bus-saturation
+    * measure. Re-measured after the resize (2026-08-18, BASELINE.md):
+    * quiet floor 0.21-0.22 s at 8 threads (11 samples over ~6 min);
+    * a degradation episode that started during the measurement read
+    * 0.42/0.81 s — the 2x-quiet gate Bench uses separates the two
+    * cleanly. The arrays are allocated per call and dropped — pre/post
+    * probes never hold 3 GiB concurrently with timed reps.
+    *
     * Callers pass a FIXED thread count (8, not the child's core count):
     * the probe must SATURATE the shared bus to feel what a multi-core
     * Spark stage feels — per-level threading measured 0.22 s at 4
     * threads in the same window where the 4-core dedup rep ran 2-4x
     * inflated (under-threaded streaming is concurrency-bound, not
     * bandwidth-bound) — and a fixed count keeps the number comparable
-    * across the lo/hi/peak children. ~0.3-0.5 s quiet at 8 threads.
+    * across the lo/hi/peak children.
     */
   def bandwidthCalib(threads: Int): Double = {
-    val n = 16 << 20
+    val n = 4 << 20
     val workers = (0 until threads).map { _ =>
       new Thread {
         val a = new Array[Long](n)
@@ -49,7 +61,7 @@ object DedupStageBench {
         override def run(): Unit = {
           val t0 = System.nanoTime()
           var r = 0
-          while (r < 6) { pass(); r += 1 }
+          while (r < 24) { pass(); r += 1 }
           calibSec = (System.nanoTime() - t0) / 1e9
         }
       }
@@ -67,6 +79,9 @@ object DedupStageBench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // native kernel expressions (codegen'd pair_score_max on the
+      // verify stage — the largest single phase at 1 core)
+      .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
       // tmpfs shuffle: the candidate stages are shuffle-volume-bound; on
       // the shared VM disk they cap at ~1.4x speedup from 4x cores (the
       // cluster equivalent is NVMe shuffle volumes)
