@@ -170,6 +170,26 @@ final class Kernels(alphabet: Alphabet) extends Serializable {
     f(normA, normB, caseA, caseB)
   }
 
+  /** [[pairScoreMaxPre]] through the fastest formulation the session
+    * offers: the native codegen [[PairScoreMax]] expression when
+    * [[graft.spark.GraftExtensions]] is installed (bit-identical — both
+    * paths run [[KernelExprs.pairScoreMax]]), else the UDF. Same picker
+    * pattern as [[TextFns.cosineIn]].
+    */
+  def pairScoreMaxPreIn(s: org.apache.spark.sql.SparkSession)(
+      normA: Column, normB: Column, caseA: Column, caseB: Column,
+      maxEditDistance: Int, weights: Weights = Weights()): Column =
+    if (s.catalog.functionExists("pair_score_max"))
+      org.apache.spark.sql.functions.call_function("pair_score_max",
+        normA, normB, caseA, caseB,
+        org.apache.spark.sql.functions.lit(maxEditDistance),
+        org.apache.spark.sql.functions.lit(weights.ld),
+        org.apache.spark.sql.functions.lit(weights.lcs),
+        org.apache.spark.sql.functions.lit(weights.prefix),
+        org.apache.spark.sql.functions.lit(weights.suffix),
+        org.apache.spark.sql.functions.lit(weights.caseW))
+    else pairScoreMaxPre(normA, normB, caseA, caseB, maxEditDistance, weights)
+
   /** Symmetric verification kernel: the max of pairScore(a,b) and
     * pairScore(b,a), with the distance features (DL, LCS, prefix, suffix,
     * case — all symmetric) computed ONCE; only the length normalization

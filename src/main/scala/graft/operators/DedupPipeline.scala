@@ -401,11 +401,15 @@ object DedupPipeline {
 
   /** Verification: analiticcl kernel, each distinct pair scored once on
     * PRECOMPUTED norms (features once per pair, both direction
-    * normalizations, max — pairScoreMaxPre). Norms arrive by
-    * SHUFFLE-HASH join (hinted): no sort of the candidate stream
-    * (sort-merge measured 2-3x slower) and no single-threaded driver
-    * broadcast build (at 1.5M reps a broadcast serialized the whole
-    * stage).
+    * normalizations, max). The kernel column goes through
+    * [[Kernels.pairScoreMaxPreIn]]: the native codegen PairScoreMax
+    * expression when GraftExtensions is installed (the verify loop runs
+    * inside the stage's generated method — no per-pair UDF converter
+    * boundary on the pipeline's largest 1-core phase), bit-identical
+    * UDF fallback otherwise. Norms arrive by SHUFFLE-HASH join (hinted):
+    * no sort of the candidate stream (sort-merge measured 2-3x slower)
+    * and no single-threaded driver broadcast build (at 1.5M reps a
+    * broadcast serialized the whole stage).
     */
   def verifyPairs(candidates: DataFrame, base: DataFrame,
       cfg: DedupConfig, K: Kernels): DataFrame = {
@@ -419,7 +423,8 @@ object DedupPipeline {
       .join(texts.select(col("id").as("b"), col("norm").as("nb"),
         col("lc").as("lcb")), Seq("b"))
       .withColumn("score",
-        K.pairScoreMaxPre(col("na"), col("nb"), col("lca"), col("lcb"),
+        K.pairScoreMaxPreIn(candidates.sparkSession)(
+          col("na"), col("nb"), col("lca"), col("lcb"),
           cfg.maxEditDistance, cfg.weights))
       .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
       .select(col("a").as("src"), col("b").as("dst"))

@@ -3,9 +3,9 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, PairScoreMax}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (the public injection route: `.config("spark.sql.extensions",
@@ -31,6 +31,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (e.dataType == ArrayType(DoubleType, containsNull = false)) e
           else Cast(e, ArrayType(DoubleType))
         CosineSim(widen(children.head), widen(children(1)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("pair_score_max"),
+      new ExpressionInfo(classOf[PairScoreMax].getName, "pair_score_max"),
+      (children: Seq[Expression]) => {
+        require(children.length == 10,
+          "pair_score_max takes (normA, normB, caseA, caseB, " +
+            s"maxEditDistance, wLd, wLcs, wPrefix, wSuffix, wCase), " +
+            s"got ${children.length} arguments")
+        // config args must be plan-time constants: the kernel's band
+        // width and weights are embedded in the generated code
+        def num(e: Expression, what: String): Double = {
+          require(e.foldable, s"pair_score_max: $what must be a literal")
+          e.eval(null) match {
+            case n: java.lang.Number => n.doubleValue()
+            case other => sys.error(s"pair_score_max: $what is not numeric: $other")
+          }
+        }
+        PairScoreMax(
+          children(0), children(1),
+          Cast(children(2), ByteType), Cast(children(3), ByteType),
+          maxEditDistance = num(children(4), "maxEditDistance").toInt,
+          wLd = num(children(5), "wLd"), wLcs = num(children(6), "wLcs"),
+          wPrefix = num(children(7), "wPrefix"),
+          wSuffix = num(children(8), "wSuffix"),
+          wCase = num(children(9), "wCase"))
       }))
   }
 }

@@ -20,6 +20,7 @@ object CandVerifyProbe {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", graft.spark.GraftExtensions.name)
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
