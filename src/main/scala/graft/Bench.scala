@@ -92,7 +92,12 @@ import org.apache.spark.sql.SparkSession
   *    > 2x the quiet reference measured in BASELINE.md) is independent
   *    of the metric value; per-level `lo_suspect`/`hi_suspect` flags in
   *    the artifact self-document any reading whose windows were all
-  *    degraded.
+  *    degraded. The flags are ONE-SIDED evidence (BASELINE.md round-5
+  *    caveat): the bandwidth probe catches sustained bus-contention
+  *    episodes but is blind to bursty stalls that straggle a multi-core
+  *    phase while a ~0.4 s probe sample reads quiet — suspect=true
+  *    proves degradation, suspect=false does not certify quiet; the min
+  *    over time-diversified children stays the primary defense.
   *
   * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
   * protocol; this one is summed, with inputs measured from the round-4
