@@ -110,11 +110,15 @@ import org.apache.spark.sql.SparkSession
   *     -> matcher on stdout by ~1680 s = ~28 min worst
   *   part 3b hi-B child: ~60 s + 2 x ~135 s                     = ~330 s
   *     -> refined headline on stdout by ~2010 s = ~34 min worst
-  *   part 3c (symmetric escalation, at most ONE of):
+  *   part 3c (symmetric dedup escalation, at most ONE of):
   *     lo-B child, 1 rep (efficiency > 1.0 or lo calib-suspect,
   *       > 700 s of budget remain)                              = ~580 s
   *     hi-C child, 2 reps (efficiency < 0.85 or hi calib-suspect,
   *       > 400 s of budget remain)                              = ~330 s
+  *   part 3d (symmetric matcher escalation, same triggers on the
+  *     matcher levels, at most ONE of): lo 1 rep ~165 s / hi ~100 s
+  *     (> 400/150 s of budget; if a dedup lo escalation already ran,
+  *     the budget check skips this)
   *   part 4 peak child: ~45 s + 1 x ~145 s + metrics ~60 s      = ~250 s
   *     (skipped when < 300 s of soft budget remain)
   *   part 5 sweep: ~160 s quiet (incl. the ~10 s emb-guards pass),
@@ -423,29 +427,38 @@ object Bench {
 
     // --- part 3: matcher at N and 4N, exactly 2 reps per level, lo first ---
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "150000").toInt
-    def matcherChild(withCpus: Int): Map[String, String] =
+    def matcherChild(withCpus: Int, maxReps: Int = 2): Map[String, String] =
       runChild("graft.tools.MatcherSparkBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, "120000", nQueries.toString), maxReps = 2)
-    val mLo = matcherChild(loCpus)
-    val mHi = matcherChild(hiCpus)
-    val mLoReps = repsOf(Seq(mLo))
-    val mHiReps = repsOf(Seq(mHi))
-    val tmLo = mLoReps.min
-    val tmHi = mHiReps.min
-    val mEfficiency = (tmLo / tmHi) / ratio
-    val mEfficiencyMed = (median(mLoReps) / median(mHiReps)) / ratio
-    matcherJson =
-      f"""{"lexicon":120000,"queries":$nQueries,"lo_cores":$loCpus,""" +
-        f""""lo_items_per_sec":${nQueries / tmLo}%.1f,"hi_cores":$hiCpus,""" +
-        f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
-        f""""scaling_efficiency":$mEfficiency%.3f,""" +
-        f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
-        s""""lo_reps":${repsJson(mLoReps)},"hi_reps":${repsJson(mHiReps)}}"""
-    matcherCompact =
-      f"""{"lo_items_per_sec":${nQueries / tmLo}%.1f,""" +
-        f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
-        f""""scaling_efficiency":$mEfficiency%.3f,""" +
-        f""""scaling_efficiency_median":$mEfficiencyMed%.3f}"""
+        Seq(withCpus.toString, "120000", nQueries.toString), maxReps = maxReps)
+    val mLoChildren = scala.collection.mutable.ArrayBuffer(matcherChild(loCpus))
+    val mHiChildren = scala.collection.mutable.ArrayBuffer(matcherChild(hiCpus))
+    def mLoReps = repsOf(mLoChildren.toSeq)
+    def mHiReps = repsOf(mHiChildren.toSeq)
+    def tmLo = mLoReps.min
+    def tmHi = mHiReps.min
+    def mEfficiency = (tmLo / tmHi) / ratio
+    def mEfficiencyMed = (median(mLoReps) / median(mHiReps)) / ratio
+    def mLoSuspect = levelSuspect(mLoChildren.toSeq)
+    def mHiSuspect = levelSuspect(mHiChildren.toSeq)
+    def renderMatcher(): Unit = {
+      matcherJson =
+        f"""{"lexicon":120000,"queries":$nQueries,"lo_cores":$loCpus,""" +
+          f""""lo_items_per_sec":${nQueries / tmLo}%.1f,"hi_cores":$hiCpus,""" +
+          f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
+          f""""scaling_efficiency":$mEfficiency%.3f,""" +
+          f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
+          s""""lo_suspect":$mLoSuspect,"hi_suspect":$mHiSuspect,""" +
+          s""""lo_reps":${repsJson(mLoReps)},"hi_reps":${repsJson(mHiReps)},""" +
+          s""""calib_sec":{"lo":${repsJson(calibOf(mLoChildren.toSeq))},""" +
+          s""""hi":${repsJson(calibOf(mHiChildren.toSeq))}}}"""
+      matcherCompact =
+        f"""{"lo_items_per_sec":${nQueries / tmLo}%.1f,""" +
+          f""""hi_items_per_sec":${nQueries / tmHi}%.1f,""" +
+          f""""scaling_efficiency":$mEfficiency%.3f,""" +
+          f""""scaling_efficiency_median":$mEfficiencyMed%.3f,""" +
+          s""""lo_suspect":$mLoSuspect,"hi_suspect":$mHiSuspect}"""
+    }
+    renderMatcher()
     partsDone += "matcher"
     emit(finalLine = false)
 
@@ -489,6 +502,23 @@ object Bench {
       hiSec = tHi
       renderDedup(None)
       partsDone += "dedup_escalate_hi"
+      emit(finalLine = false)
+    }
+
+    // --- part 3d (matcher escalation — the same symmetric, bounded
+    //     guard as 3c, running at a later wall-clock point than part 3's
+    //     children; the round-5 validation run read matcher 1.064 from
+    //     an inflated lo level and nothing corrected it) ---
+    if ((mEfficiency > 1.0 || mLoSuspect) && budgetSec - elapsedSec > 400) {
+      mLoChildren += matcherChild(loCpus, maxReps = 1)
+      renderMatcher()
+      partsDone += "matcher_escalate_lo"
+      emit(finalLine = false)
+    } else if ((mEfficiency < 0.85 || mHiSuspect) &&
+        budgetSec - elapsedSec > 150) {
+      mHiChildren += matcherChild(hiCpus, maxReps = 2)
+      renderMatcher()
+      partsDone += "matcher_escalate_hi"
       emit(finalLine = false)
     }
 

@@ -49,6 +49,12 @@ object MatcherSparkBench {
       matcher(qdf.limit(5000), params)
         .write.format("noop").mode("overwrite").save()
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val minReps = math.min(maxReps,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_REPS", "2").toInt)
+      // same host-window calibration as the dedup children (pre/post the
+      // timed reps): the matcher level gets suspect flags + symmetric
+      // escalation in Bench too, and those need the probe beside the reps
+      val calibPre = DedupStageBench.bandwidthCalib(8)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var continue = true
       while (continue) {
@@ -59,11 +65,13 @@ object MatcherSparkBench {
         System.err.println(
           f"[matcher-phase] rep${times.length + 1} $dt%.2fs cpus=$cpus")
         times += dt
-        continue = times.length < 2 ||
+        continue = times.length < minReps ||
           (times.length < maxReps && dt < prevBest * 0.90)
       }
+      val calibPost = DedupStageBench.bandwidthCalib(8)
       println(f"RESULT matcher min=${times.min}%.3f " +
         s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
+        f"calib=$calibPre%.3f,$calibPost%.3f " +
         s"queries=$nQueries cpus=$cpus")
     } finally spark.stop()
   }
