@@ -110,6 +110,8 @@ import org.apache.spark.sql.SparkSession
   *     -> matcher on stdout by ~1680 s = ~28 min worst
   *   part 3b hi-B child: ~60 s + 2 x ~135 s                     = ~330 s
   *     -> refined headline on stdout by ~2010 s = ~34 min worst
+  *   part 3b' matcher hi-B child (second wall-clock window, same
+  *     time-split rationale as the dedup level):                = ~100 s
   *   part 3c (symmetric dedup escalation, at most ONE of):
   *     lo-B child, 1 rep (efficiency > 1.0 or lo calib-suspect,
   *       > 700 s of budget remain)                              = ~580 s
@@ -123,7 +125,7 @@ import org.apache.spark.sql.SparkSession
   *     (skipped when < 300 s of soft budget remain)
   *   part 5 sweep: ~160 s quiet (incl. the ~10 s emb-guards pass),
   *     deadline-capped (1-rep mode / skip)
-  *   north-rule parts land on stdout at 22/28/34(/43 escalated) min
+  *   north-rule parts land on stdout at 22/28/36(/45 escalated-lo) min
   *   worst — each line a complete artifact, so a driver kill anywhere
   *   past ~22 min still ships a headline — and the budget-conditional
   *   tail (escalation, then peak, then sweep) degrades in reverse
@@ -472,6 +474,17 @@ object Bench {
     hiSec = tHi
     renderDedup(None)
     partsDone += "dedup_resample"
+    emit(finalLine = false)
+
+    // --- part 3b': second matcher hi window — the same time-split
+    //     rationale as the dedup level (episodes outlast one child, so
+    //     a single-window min can read 20-35% inflated; run-B evidence:
+    //     matcher hi had one window while lo got an escalation rep and
+    //     the ratio whipsawed 1.00 -> 0.74). Fixed rep budget (4 hi
+    //     total), decided before any measurement ---
+    mHiChildren += matcherChild(hiCpus)
+    renderMatcher()
+    partsDone += "matcher_resample"
     emit(finalLine = false)
 
     // --- part 3c (SYMMETRIC escalation, bounded at ONE extra child):
