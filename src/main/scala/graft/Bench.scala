@@ -124,8 +124,9 @@ import org.apache.spark.sql.SparkSession
   *   part 4 peak child: ~45 s + 1-2 x ~145 s + metrics ~60 s    = ~400 s
   *     (2 reps when > 500 s of soft budget remain — clock-decided,
   *     never metric-conditioned; skipped entirely below 300 s)
-  *   part 5 sweep: ~160 s quiet (incl. the ~10 s emb-guards pass),
-  *     deadline-capped (1-rep mode / skip)
+  *   part 5 sweep: ~190 s quiet (incl. the ~10 s emb-guards and ~30 s
+  *     audio-guards passes), deadline-capped (1-rep mode sheds the
+  *     audio pass, then skip)
   *   north-rule parts land on stdout at 22/28/36(/45 escalated-lo) min
   *   worst — each line a complete artifact, so a driver kill anywhere
   *   past ~22 min still ships a headline — and the budget-conditional
@@ -643,6 +644,24 @@ object Bench {
           "emb_dropped_buckets" -> em.nDroppedBuckets.toString,
           "emb_verified_edges" -> em.nVerifiedEdges.toString,
           "emb_clusters" -> em.nClusters.toString)
+      } catch { case _: Throwable => () }
+      // acoustic-path guard counters: AudioDedup over a small real-bytes
+      // clip table (the bench headline table skips PCM synthesis), same
+      // candidate-discipline accounting as the text/embedding pipelines.
+      // ~30 s (decode+FFT+CC floor) — runs only at the comfortable-budget
+      // tier, the first thing the deadline sheds after rep counts
+      if (!onePass) try {
+        val aClips = graft.sources.ClipGen
+          .table(spark, 4242L, 150)
+          .withColumn("id", org.apache.spark.sql.functions
+            .xxhash64(org.apache.spark.sql.functions.col("clip_id")))
+        val (_, am) = graft.operators.AudioDedup.run(spark, aClips, "id",
+          "bytes", collectMetrics = true)
+        guards ++= Seq(
+          "audio_candidate_pairs" -> am.nCandidatePairs.toString,
+          "audio_dropped_buckets" -> am.nDroppedBuckets.toString,
+          "audio_verified_edges" -> am.nVerifiedEdges.toString,
+          "audio_clusters" -> am.nClusters.toString)
       } catch { case _: Throwable => () }
       spark.stop()
       queriesJson = results.map { case (k, v) => "\"" + k + "\":" + v.min }

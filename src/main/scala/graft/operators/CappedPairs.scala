@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared capped bucket→pair expansion — the candidate-generation shape
+  * every LSH family in this engine funnels through (embedding sign-LSH,
+  * audio fingerprint minhash; the text pipeline's variant adds an
+  * edit-distance length prefilter, [[DedupPipeline.pairsFromKeys]]).
+  *
+  * Scale shape (the reasons are measured, see DedupPipeline):
+  *  1. count-agg first — almost every key is a singleton, and a codegen'd
+  *     count with map-side partials kills them without a collect_list
+  *     over the full key volume;
+  *  2. the surviving hot-key set (2..cap members) is small — broadcast it
+  *     and filter map-side, so the count agg is the only full shuffle;
+  *  3. pairs expand in-row from the capped bucket's sorted member list —
+  *     never a self-join on the key column. Buckets above `cap` are
+  *     dropped entirely (hot keys are degenerate evidence — silence,
+  *     boilerplate, zero vectors); callers count them as documented lost
+  *     recall.
+  */
+object CappedPairs {
+
+  /** keyed(id, k) → distinct candidate pairs (a, b) with a < b. */
+  def fromKeys(keyed: DataFrame, cap: Int): DataFrame = {
+    val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, cap))
+      .select(col("k"))
+    keyed.join(broadcast(hot), Seq("k"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+}

@@ -169,25 +169,12 @@ object EmbDedup {
       .select(col("id"), xxhash64(col("band"), col("bits")).as("k"))
   }
 
-  /** Bucket -> pair expansion, the text pipeline's shape
-    * ([[DedupPipeline.pairsFromKeys]]) minus the edit-distance length
-    * prefilter (embeddings have no length): codegen'd count-agg first
-    * (nearly every key is a singleton), broadcast the small surviving
-    * hot-key set, collect only capped buckets, expand pairs in-row.
+  /** Bucket -> pair expansion — the shared capped shape
+    * ([[CappedPairs.fromKeys]]; the text pipeline's variant adds an
+    * edit-distance length prefilter, which embeddings don't have).
     */
-  def pairsFromKeys(keyed: DataFrame, cfg: EmbDedupConfig): DataFrame = {
-    val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, cfg.bucketCap))
-      .select(col("k"))
-    keyed.join(broadcast(hot), Seq("k"))
-      .groupBy("k")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .distinct()
-  }
+  def pairsFromKeys(keyed: DataFrame, cfg: EmbDedupConfig): DataFrame =
+    CappedPairs.fromKeys(keyed, cfg.bucketCap)
 
   /** Verified near-dup pairs: banded candidates -> exact cosine >=
     * threshold. Returns (pairs(a, b, cos), metrics).
