@@ -40,7 +40,13 @@ object MatcherSparkBench {
         graft.sources.SyntheticText.corrupt(rng,
           lexicon(rng.nextInt(lexicon.size))._1, 1 + (i % 2))
       }
-      val qdf = queries.toDF("query").repartition(cpus).cache()
+      // tasks ≫ cores (4 waves) so per-query cost variance can't
+      // straggle a level: with one task per core a single heavy
+      // partition sets the wall clock; 4 waves let the scheduler
+      // rebalance. Env-overridable for scaling experiments.
+      val parts = sys.env.get("SPARK_GRAFT_MATCHER_PARTS").map(_.toInt)
+        .getOrElse(math.max(cpus * 4, 4))
+      val qdf = queries.toDF("query").repartition(parts).cache()
       qdf.count()
       val params = SearchParameters()
       // steady state: model broadcast ONCE (as in production); a warmup
