@@ -97,19 +97,31 @@ object Distances {
     if (result > maxDistance) -1 else result
   }
 
-  /** Longest common substring length (reference: src/distance.rs:181-205). */
+  /** Longest common substring length (reference: src/distance.rs:181-205;
+    * same value, computed as the classic rolling-row DP — run(i,j) =
+    * run(i-1,j-1)+1 on a match — instead of the reference's re-extension
+    * scan from every anchor, which re-walks each shared run once per
+    * starting offset, O(run²) per run; near-duplicate inputs are all
+    * long shared runs, making the hot path quadratic in exactly the
+    * common case. The DP is strictly |s1|·|s2| cell steps.)
+    */
   def longestCommonSubstring(s1: Array[Int], s2: Array[Int]): Int = {
     var lcs = 0
+    val n2 = s2.length
+    val row = new Array[Int](n2 + 1)
     var i = 0
     while (i < s1.length) {
+      val c = s1(i)
+      var diag = 0 // row(j) from the previous i-iteration
       var j = 0
-      while (j < s2.length) {
-        if (s1(i) == s2(j)) {
-          var k = 1
-          while (i + k < s1.length && j + k < s2.length && s1(i + k) == s2(j + k))
-            k += 1
-          if (k > lcs) lcs = k
-        }
+      while (j < n2) {
+        val up = row(j + 1)
+        if (c == s2(j)) {
+          val v = diag + 1
+          row(j + 1) = v
+          if (v > lcs) lcs = v
+        } else row(j + 1) = 0
+        diag = up
         j += 1
       }
       i += 1
@@ -243,17 +255,27 @@ object Distances {
 
   /** LCS over char sequences (same algorithm as the Array[Int] form). */
   def lcsChars(s1: CharSequence, s2: CharSequence): Int = {
+    // rolling-row DP (see longestCommonSubstring); thread-local row —
+    // this runs tens of millions of times per verify stage
     var lcs = 0
+    val n2 = s2.length
+    val sc = scratch.get()
+    if (sc.cache.length < n2 + 1) sc.cache = new Array[Int](n2 + 1)
+    val row = sc.cache
+    java.util.Arrays.fill(row, 0, n2 + 1, 0)
     var i = 0
     while (i < s1.length) {
+      val c = s1.charAt(i)
+      var diag = 0
       var j = 0
-      while (j < s2.length) {
-        if (s1.charAt(i) == s2.charAt(j)) {
-          var k = 1
-          while (i + k < s1.length && j + k < s2.length &&
-            s1.charAt(i + k) == s2.charAt(j + k)) k += 1
-          if (k > lcs) lcs = k
-        }
+      while (j < n2) {
+        val up = row(j + 1)
+        if (c == s2.charAt(j)) {
+          val v = diag + 1
+          row(j + 1) = v
+          if (v > lcs) lcs = v
+        } else row(j + 1) = 0
+        diag = up
         j += 1
       }
       i += 1

@@ -88,6 +88,32 @@ object CandVerifyProbe {
           .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
           .select(col("a").as("src"), col("b").as("dst")))
         mark("verify")
+        // same joins, trivial scoring — isolates join/shuffle machinery
+        // from the kernel cost
+        val joinOnly = candidates.df
+          .join(texts.select(col("id").as("a"), col("norm").as("na"),
+            col("lc").as("lca")), Seq("a"))
+          .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+            col("lc").as("lcb")), Seq("b"))
+          .withColumn("score",
+            (length(col("na")) + length(col("nb"))).cast("double"))
+          .filter(col("score") >= 0.0)
+          .select(col("a").as("src"), col("b").as("dst"))
+        System.err.println(s"[probe$rep] joinOnly=${joinOnly.count()}")
+        mark("verify-nokernel")
+        // the production path: native codegen PairScoreMax expression
+        val verifiedNative = candidates.df
+          .join(texts.select(col("id").as("a"), col("norm").as("na"),
+            col("lc").as("lca")), Seq("a"))
+          .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+            col("lc").as("lcb")), Seq("b"))
+          .withColumn("score",
+            K.pairScoreMaxPreIn(spark)(col("na"), col("nb"), col("lca"),
+              col("lcb"), cfg.maxEditDistance, cfg.weights))
+          .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
+          .select(col("a").as("src"), col("b").as("dst"))
+        System.err.println(s"[probe$rep] verifiedNative=${verifiedNative.count()}")
+        mark("verify-native")
         System.err.println(s"[probe$rep] candidates=${candidates.df.count()} verified=${verified.df.count()}")
         t0 = System.nanoTime()
         Seq(rows, base, hot, candidates, verified).foreach(_.release())
