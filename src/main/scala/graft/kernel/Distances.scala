@@ -158,6 +158,8 @@ object Distances {
 
   private final class Scratch {
     var mat: Array[Int] = new Array[Int](0)
+    var chA: Array[Char] = new Array[Char](0)
+    var chB: Array[Char] = new Array[Char](0)
     // gen-stamp per matrix cell: a cell not written this call reads as
     // "inf" without an O(lenS*lenT) fill per call (the fill was measured
     // to eat most of the banding win on long norm strings)
@@ -255,22 +257,38 @@ object Distances {
 
   /** LCS over char sequences (same algorithm as the Array[Int] form). */
   def lcsChars(s1: CharSequence, s2: CharSequence): Int = {
-    // rolling-row DP (see longestCommonSubstring); thread-local row —
-    // this runs tens of millions of times per verify stage
-    var lcs = 0
+    // rolling-row DP (see longestCommonSubstring) over thread-local
+    // char-array copies: this runs tens of millions of times per verify
+    // stage, and the primitive-array inner loop (no CharSequence
+    // dispatch) is ~2x the CharSequence form at transcript lengths
+    val n1 = s1.length
     val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0
     val sc = scratch.get()
+    if (sc.chA.length < n1) sc.chA = new Array[Char](math.max(64, n1))
+    if (sc.chB.length < n2) sc.chB = new Array[Char](math.max(64, n2))
+    val a = sc.chA
+    val b = sc.chB
+    s1 match {
+      case s: String => s.getChars(0, n1, a, 0)
+      case _ => var i = 0; while (i < n1) { a(i) = s1.charAt(i); i += 1 }
+    }
+    s2 match {
+      case s: String => s.getChars(0, n2, b, 0)
+      case _ => var i = 0; while (i < n2) { b(i) = s2.charAt(i); i += 1 }
+    }
     if (sc.cache.length < n2 + 1) sc.cache = new Array[Int](n2 + 1)
     val row = sc.cache
     java.util.Arrays.fill(row, 0, n2 + 1, 0)
+    var lcs = 0
     var i = 0
-    while (i < s1.length) {
-      val c = s1.charAt(i)
+    while (i < n1) {
+      val c = a(i)
       var diag = 0
       var j = 0
       while (j < n2) {
         val up = row(j + 1)
-        if (c == s2.charAt(j)) {
+        if (c == b(j)) {
           val v = diag + 1
           row(j + 1) = v
           if (v > lcs) lcs = v

@@ -49,6 +49,64 @@ class DistancesPropSpec extends AnyFunSuite {
     }
   }
 
+  /** The reference's anchor-and-extend LCS (src/distance.rs:181-205),
+    * kept verbatim HERE as the independent parity anchor now that both
+    * production forms use the rolling-row DP.
+    */
+  private def naiveLcs(s1: Array[Int], s2: Array[Int]): Int = {
+    var lcs = 0
+    var i = 0
+    while (i < s1.length) {
+      var j = 0
+      while (j < s2.length) {
+        if (s1(i) == s2(j)) {
+          var k = 1
+          while (i + k < s1.length && j + k < s2.length && s1(i + k) == s2(j + k))
+            k += 1
+          if (k > lcs) lcs = k
+        }
+        j += 1
+      }
+      i += 1
+    }
+    lcs
+  }
+
+  test("DP lcs == reference anchor-and-extend lcs, incl. adversarial runs") {
+    // random short keys
+    for (_ <- 0 until 5000) {
+      val a = randKey(24)
+      val b = randKey(24)
+      assert(Distances.lcsChars(a, b) == naiveLcs(ints(a), ints(b)),
+        s"a=$a b=$b")
+    }
+    // transcript-shaped near-dups at real pipeline lengths
+    for (_ <- 0 until 300) {
+      val a = graft.sources.SyntheticText.phrase(rng, 5 + rng.nextInt(59))
+      val b = graft.sources.SyntheticText.corrupt(rng, a, 1 + rng.nextInt(3))
+      assert(Distances.lcsChars(a, b) == naiveLcs(ints(a), ints(b)))
+      assert(Distances.longestCommonSubstring(ints(a), ints(b)) ==
+        naiveLcs(ints(a), ints(b)))
+    }
+    // adversarial: periodic strings (long shared runs at many offsets),
+    // single-char runs, shared block at a large offset, empties
+    val cases = Seq(
+      ("abcabcabcabcabcabc", "bcabcabcabcabcabca"),
+      ("aaaaaaaaaaaa", "aaaaaaa"),
+      ("aaaaaaa", "aaaaaaaaaaaa"),
+      ("xyxyxyxyxyzz", "zzxyxyxyxyxy"),
+      ("hello world", "world hello"),
+      ("abc", ""), ("", "abc"), ("", ""),
+      ("a", "a"), ("a", "b"),
+      ("abab", "baba"))
+    for ((a, b) <- cases) {
+      assert(Distances.lcsChars(a, b) == naiveLcs(ints(a), ints(b)),
+        s"a=$a b=$b")
+      assert(Distances.longestCommonSubstring(ints(a), ints(b)) ==
+        naiveLcs(ints(a), ints(b)), s"a=$a b=$b")
+    }
+  }
+
   test("transposition distinguishes DL from plain Levenshtein (03xx)") {
     // reference tests/main.rs:677-685: ab<->ba is 1 edit in DL, 2 in Lev
     assert(Distances.dlChars("ab", "ba", 2) == 1)
