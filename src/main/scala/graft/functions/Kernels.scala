@@ -190,6 +190,35 @@ final class Kernels(alphabet: Alphabet) extends Serializable {
         org.apache.spark.sql.functions.lit(weights.caseW))
     else pairScoreMaxPre(normA, normB, caseA, caseB, maxEditDistance, weights)
 
+  /** The dedup verify FILTER: exactly
+    * `pairScoreMaxPre(...) IS NOT NULL AND pairScoreMaxPre(...) >= threshold`,
+    * but through the native decision expression [[PairAccept]] when the
+    * session has GraftExtensions — which skips the exact-LCS DP whenever
+    * the score bounds already decide against the threshold (most pairs;
+    * see [[KernelExprs.pairAccept]]). Sessions without the extension get
+    * the exact-score UDF compared to the threshold — identical decisions
+    * either way (KernelExprsSpec).
+    */
+  def pairAcceptPreIn(s: org.apache.spark.sql.SparkSession)(
+      normA: Column, normB: Column, caseA: Column, caseB: Column,
+      maxEditDistance: Int, threshold: Double,
+      weights: Weights = Weights()): Column =
+    if (s.catalog.functionExists("pair_accept"))
+      org.apache.spark.sql.functions.call_function("pair_accept",
+        normA, normB, caseA, caseB,
+        org.apache.spark.sql.functions.lit(maxEditDistance),
+        org.apache.spark.sql.functions.lit(weights.ld),
+        org.apache.spark.sql.functions.lit(weights.lcs),
+        org.apache.spark.sql.functions.lit(weights.prefix),
+        org.apache.spark.sql.functions.lit(weights.suffix),
+        org.apache.spark.sql.functions.lit(weights.caseW),
+        org.apache.spark.sql.functions.lit(threshold))
+    else {
+      val sc = pairScoreMaxPre(normA, normB, caseA, caseB,
+        maxEditDistance, weights)
+      sc.isNotNull && sc >= org.apache.spark.sql.functions.lit(threshold)
+    }
+
   /** Symmetric verification kernel: the max of pairScore(a,b) and
     * pairScore(b,a), with the distance features (DL, LCS, prefix, suffix,
     * case — all symmetric) computed ONCE; only the length normalization

@@ -53,35 +53,82 @@ final case class Alphabet(classes: IndexedSeq[IndexedSeq[String]]) {
     (acc, mask)
   }
 
+  /** First-char dispatch for the greedy scan: for each possible leading
+    * UTF-16 unit, every (form, class) whose surface form starts with it,
+    * in EXACT scan priority order (class order, then form order — the
+    * first match wins, so preserving that order preserves the greedy
+    * semantics bit-for-bit). The scan tries only the forms that can
+    * possibly match at a position instead of every class x form; the
+    * common single-char form needs no further comparison at all. Built
+    * lazily once per JVM (the alphabet is broadcast-closed config state;
+    * normalize runs once per input row, and the nested startsWith scan
+    * was 11% of the dedup pipeline's 1-core profile).
+    */
+  @transient private lazy val dispatch
+      : (Array[Array[String]], Array[Array[Int]]) = {
+    val buf = new Array[scala.collection.mutable.ArrayBuffer[(String, Int)]](65536)
+    var ci = 0
+    while (ci < classes.length) {
+      val forms = classes(ci)
+      var fi = 0
+      while (fi < forms.length) {
+        val f = forms(fi)
+        val c = f.charAt(0).toInt
+        if (buf(c) == null)
+          buf(c) = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        buf(c) += ((f, ci))
+        fi += 1
+      }
+      ci += 1
+    }
+    val dForms = new Array[Array[String]](65536)
+    val dCls = new Array[Array[Int]](65536)
+    var c = 0
+    while (c < 65536) {
+      if (buf(c) != null) {
+        dForms(c) = buf(c).map(_._1).toArray
+        dCls(c) = buf(c).map(_._2).toArray
+      }
+      c += 1
+    }
+    (dForms, dCls)
+  }
+
   private def normalizeImpl(s: String, unkIndex: Int): Array[Int] = {
-    val out = scala.collection.mutable.ArrayBuilder.make[Int]
-    out.sizeHint(s.length)
+    val (dForms, dCls) = dispatch
+    // each consumed position emits exactly one index for >= 1 char, so
+    // s.length bounds the output
+    val out = new Array[Int](s.length)
+    var n = 0
     var pos = 0
     while (pos < s.length) {
       var matched = false
-      var ci = 0
-      while (!matched && ci < classes.length) {
-        val forms = classes(ci)
-        var fi = 0
-        while (!matched && fi < forms.length) {
-          val f = forms(fi)
-          if (s.startsWith(f, pos)) {
-            out += ci
+      val forms = dForms(s.charAt(pos).toInt)
+      if (forms != null) {
+        val cls = dCls(s.charAt(pos).toInt)
+        var i = 0
+        while (!matched && i < forms.length) {
+          val f = forms(i)
+          // f.charAt(0) == s.charAt(pos) by dispatch construction: a
+          // single-char form is already a full match
+          if (f.length == 1 || s.startsWith(f, pos)) {
+            out(n) = cls(i)
+            n += 1
             pos += f.length
             matched = true
           }
-          fi += 1
+          i += 1
         }
-        ci += 1
       }
       if (!matched) {
-        out += unkIndex
+        out(n) = unkIndex
+        n += 1
         // advance one codepoint (reference iterates char_indices =
         // unicode scalar values; surrogate pairs advance by 2 UTF-16 units)
         pos += Character.charCount(s.codePointAt(pos))
       }
     }
-    out.result()
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 }
 

@@ -301,6 +301,82 @@ object Distances {
     lcs
   }
 
+  /** Scan one diagonal for a match-run of length >= target; bails as
+    * soon as the remaining diagonal can't host one.
+    */
+  private def diagRun(a: Array[Char], aOff: Int, b: Array[Char], bOff: Int,
+      len: Int, target: Int): Boolean = {
+    var run = 0
+    var i = 0
+    while (i < len) {
+      if (a(aOff + i) == b(bOff + i)) {
+        run += 1
+        if (run >= target) return true
+      } else {
+        // best case after a mismatch at i is a run over the len-i-1
+        // remaining positions
+        if (len - i <= target) return false
+        run = 0
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Decision form of [[lcsChars]]: does the longest common substring
+    * reach `target`? Equal to (lcsChars(s1, s2) >= target) on every
+    * input (DistancesPropSpec pins it), computed by scanning diagonals
+    * in ascending |offset| order with per-diagonal early exit, stopping
+    * when no remaining diagonal is long enough to host a target-length
+    * run. The verify stage's callers only reach this after a
+    * DL <= maxEditDistance gate, and a <= k-edit alignment places every
+    * shared segment on a diagonal with |offset| <= k — so the common
+    * case touches a handful of diagonals instead of the full
+    * |s1|x|s2| DP.
+    */
+  def lcsAtLeast(s1: CharSequence, s2: CharSequence, target: Int): Boolean = {
+    if (target <= 0) return true
+    val n1 = s1.length
+    val n2 = s2.length
+    if (target > n1 || target > n2) return false
+    val sc = scratch.get()
+    if (sc.chA.length < n1) sc.chA = new Array[Char](math.max(64, n1))
+    if (sc.chB.length < n2) sc.chB = new Array[Char](math.max(64, n2))
+    val a = sc.chA
+    val b = sc.chB
+    s1 match {
+      case s: String => s.getChars(0, n1, a, 0)
+      case _ => var i = 0; while (i < n1) { a(i) = s1.charAt(i); i += 1 }
+    }
+    s2 match {
+      case s: String => s.getChars(0, n2, b, 0)
+      case _ => var i = 0; while (i < n2) { b(i) = s2.charAt(i); i += 1 }
+    }
+    // diagonal at offset +d pairs a(i) with b(i+d) (length min(n1, n2-d));
+    // offset -d pairs a(i+d) with b(i) (length min(n2, n1-d)). Both
+    // lengths strictly shrink as d grows, so the first level where
+    // neither side can host a target-length run ends the scan.
+    var d = 0
+    var cont = true
+    while (cont) {
+      cont = false
+      val lenP = math.min(n1, n2 - d)
+      if (lenP >= target) {
+        cont = true
+        if (diagRun(a, 0, b, d, lenP, target)) return true
+      }
+      if (d > 0) {
+        val lenN = math.min(n2, n1 - d)
+        if (lenN >= target) {
+          cont = true
+          if (diagRun(a, d, b, 0, lenN, target)) return true
+        }
+      }
+      d += 1
+    }
+    false
+  }
+
   def prefixChars(s1: CharSequence, s2: CharSequence): Int = {
     val n = math.min(s1.length, s2.length)
     var i = 0

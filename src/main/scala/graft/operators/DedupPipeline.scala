@@ -399,17 +399,21 @@ object DedupPipeline {
       .distinct()
   }
 
-  /** Verification: analiticcl kernel, each distinct pair scored once on
+  /** Verification: analiticcl kernel, each distinct pair DECIDED once on
     * PRECOMPUTED norms (features once per pair, both direction
-    * normalizations, max). The kernel column goes through
-    * [[Kernels.pairScoreMaxPreIn]]: the native codegen PairScoreMax
-    * expression when GraftExtensions is installed (the verify loop runs
-    * inside the stage's generated method — no per-pair UDF converter
-    * boundary on the pipeline's largest 1-core phase), bit-identical
-    * UDF fallback otherwise. Norms arrive by SHUFFLE-HASH join (hinted):
-    * no sort of the candidate stream (sort-merge measured 2-3x slower)
-    * and no single-threaded driver broadcast build (at 1.5M reps a
-    * broadcast serialized the whole stage).
+    * normalizations, max, compared to the threshold). The filter goes
+    * through [[Kernels.pairAcceptPreIn]]: the native codegen PairAccept
+    * expression when GraftExtensions is installed — the verify decision
+    * runs inside the stage's generated method (no per-pair UDF converter
+    * boundary on the pipeline's largest 1-core phase) AND skips the
+    * exact-LCS DP whenever the prefix/suffix lower bound or the minLen
+    * upper bound already decides the score against the threshold (most
+    * pairs — see [[graft.functions.KernelExprs.pairAccept]]);
+    * bit-identical exact-score UDF fallback otherwise. Norms arrive by
+    * SHUFFLE-HASH join (hinted): no sort of the candidate stream
+    * (sort-merge measured 2-3x slower) and no single-threaded driver
+    * broadcast build (at 1.5M reps a broadcast serialized the whole
+    * stage).
     */
   def verifyPairs(candidates: DataFrame, base: DataFrame,
       cfg: DedupConfig, K: Kernels): DataFrame = {
@@ -422,11 +426,9 @@ object DedupPipeline {
         col("lc").as("lca")), Seq("a"))
       .join(texts.select(col("id").as("b"), col("norm").as("nb"),
         col("lc").as("lcb")), Seq("b"))
-      .withColumn("score",
-        K.pairScoreMaxPreIn(candidates.sparkSession)(
-          col("na"), col("nb"), col("lca"), col("lcb"),
-          cfg.maxEditDistance, cfg.weights))
-      .filter(col("score").isNotNull && col("score") >= cfg.scoreThreshold)
+      .filter(K.pairAcceptPreIn(candidates.sparkSession)(
+        col("na"), col("nb"), col("lca"), col("lcb"),
+        cfg.maxEditDistance, cfg.scoreThreshold, cfg.weights))
       .select(col("a").as("src"), col("b").as("dst"))
   }
 }

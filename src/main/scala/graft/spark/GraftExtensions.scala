@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
 
-import graft.functions.{CosineSim, PairScoreMax}
+import graft.functions.{CosineSim, PairAccept, PairScoreMax}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (the public injection route: `.config("spark.sql.extensions",
@@ -57,6 +57,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           wPrefix = num(children(7), "wPrefix"),
           wSuffix = num(children(8), "wSuffix"),
           wCase = num(children(9), "wCase"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("pair_accept"),
+      new ExpressionInfo(classOf[PairAccept].getName, "pair_accept"),
+      (children: Seq[Expression]) => {
+        require(children.length == 11,
+          "pair_accept takes (normA, normB, caseA, caseB, " +
+            s"maxEditDistance, wLd, wLcs, wPrefix, wSuffix, wCase, " +
+            s"threshold), got ${children.length} arguments")
+        def num(e: Expression, what: String): Double = {
+          require(e.foldable, s"pair_accept: $what must be a literal")
+          e.eval(null) match {
+            case n: java.lang.Number => n.doubleValue()
+            case other => sys.error(s"pair_accept: $what is not numeric: $other")
+          }
+        }
+        PairAccept(
+          children(0), children(1),
+          Cast(children(2), ByteType), Cast(children(3), ByteType),
+          maxEditDistance = num(children(4), "maxEditDistance").toInt,
+          wLd = num(children(5), "wLd"), wLcs = num(children(6), "wLcs"),
+          wPrefix = num(children(7), "wPrefix"),
+          wSuffix = num(children(8), "wSuffix"),
+          wCase = num(children(9), "wCase"),
+          threshold = num(children(10), "threshold"))
       }))
   }
 }

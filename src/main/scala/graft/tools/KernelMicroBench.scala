@@ -63,5 +63,25 @@ object KernelMicroBench {
       }
       s
     }
+    // the production dedup filter shape: default weights, threshold 0.7
+    time("score@dflt") {
+      var s = 0L; var i = 0
+      while (i < n) {
+        val v = KernelExprs.pairScoreMax(pairs(i)._3, pairs(i)._4,
+          0.toByte, 0.toByte, 3, 0.5, 0.125, 0.125, 0.125, 0.125)
+        if (!java.lang.Double.isNaN(v) && v >= 0.7) s += 1
+        i += 1
+      }
+      s
+    }
+    time("decision") {
+      var s = 0L; var i = 0
+      while (i < n) {
+        if (KernelExprs.pairAccept(pairs(i)._3, pairs(i)._4,
+          0.toByte, 0.toByte, 3, 0.5, 0.125, 0.125, 0.125, 0.125, 0.7)) s += 1
+        i += 1
+      }
+      s
+    }
   }
 }

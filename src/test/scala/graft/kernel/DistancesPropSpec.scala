@@ -107,6 +107,41 @@ class DistancesPropSpec extends AnyFunSuite {
     }
   }
 
+  test("lcsAtLeast == (lcsChars >= target) for every target, incl. adversarial") {
+    def check(a: String, b: String): Unit = {
+      val exact = Distances.lcsChars(a, b)
+      val hi = math.min(a.length, b.length) + 2
+      var t = 0
+      while (t <= hi) {
+        assert(Distances.lcsAtLeast(a, b, t) == (exact >= t),
+          s"a=$a b=$b t=$t exact=$exact")
+        t += 1
+      }
+      assert(Distances.lcsAtLeast(a, b, -1)) // degenerate targets
+      assert(Distances.lcsAtLeast(a, b, 0))
+    }
+    for (_ <- 0 until 2000) check(randKey(24), randKey(24))
+    // transcript-shaped near-dups: the decision path's production inputs
+    for (_ <- 0 until 200) {
+      val a = graft.sources.SyntheticText.phrase(rng, 5 + rng.nextInt(30))
+      val b = graft.sources.SyntheticText.corrupt(rng, a, 1 + rng.nextInt(3))
+      check(a, b)
+    }
+    // adversarial: periodic (runs at many offsets), uniform runs, shared
+    // block at a large offset (the case a banded scan would miss if the
+    // termination bound were wrong), empties
+    val cases = Seq(
+      ("abcabcabcabcabcabc", "bcabcabcabcabcabca"),
+      ("aaaaaaaaaaaa", "aaaaaaa"),
+      ("xyxyxyxyxyzz", "zzxyxyxyxyxy"),
+      ("hello world", "world hello"),
+      ("qqqqABCDEFGH", "ABCDEFGHzzzz"), // long run at offset +/-4 only
+      ("abc", ""), ("", "abc"), ("", ""),
+      ("a", "a"), ("a", "b"),
+      ("abab", "baba"))
+    for ((a, b) <- cases) check(a, b)
+  }
+
   test("transposition distinguishes DL from plain Levenshtein (03xx)") {
     // reference tests/main.rs:677-685: ab<->ba is 1 edit in DL, 2 in Lev
     assert(Distances.dlChars("ab", "ba", 2) == 1)
