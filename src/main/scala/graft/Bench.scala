@@ -26,11 +26,19 @@ import org.apache.spark.sql.SparkSession
   *     "N and 4N executors" evidence of the north rule; BASELINE.md
   *     explains why the low-contention pair is the faithful cluster
   *     stand-in) plus local[cpus] for peak throughput. Input size is the
-  *     COMPUTE-DOMINATED one (default 750k clips = 300k clusters): the
-  *     serial floor amortizes with input size — 0.76-0.89 efficiency
-  *     measured at 375k clips vs 0.84-1.003 at 750k-1.5M on identical
-  *     plans — so the larger input is the regime a 1000-executor 100 TB
-  *     run lives in. Size fixed here, in code, never chosen per run.
+  *     COMPUTE-DOMINATED one (default 1.5M clips = 600k clusters): the
+  *     serial floor amortizes with input size — and what counts as
+  *     compute-dominated moves with the kernels. 750k clips was that
+  *     regime in round 4 (1-core reps ~400 s); after the round-5 kernel
+  *     work (OPH+SWAR sketch, pair_accept verify decision) the same
+  *     input finishes in ~92 s at 1 core and the fixed floors (driver
+  *     job latency, localCheckpoint actions, the CC round) stop
+  *     amortizing — measured 0.70 efficiency at 750k in QUIET windows
+  *     vs 0.947 at 1.5M clips the same hour (lo 204.2 s / hi 53.9 s,
+  *     calibs 0.23-0.30). The larger input is the regime a
+  *     1000-executor 100 TB run lives in; the per-rep cost (~205 s at
+  *     1 core) remains BELOW the round-4 budget's ~400 s reps. Size
+  *     fixed here, in code, never chosen per run.
   *  2. (default OFF, SPARK_GRAFT_BENCH_SMALL=1) the same pipeline at the
   *     legacy round-1/2 size; round-over-round comparison lives in
   *     BASELINE.md instead — the round-3 postmortem's arithmetic showed
@@ -100,34 +108,35 @@ import org.apache.spark.sql.SparkSession
   *    over time-diversified children stays the primary defense.
   *
   * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
-  * protocol; this one is summed, with inputs measured from the round-4
-  * probe runs of 2026-08-17/18, NOISY windows):
-  *   part 1 lo   child: JVM+gen+warmup ~180 s + 2 reps x ~400 s = ~980 s
-  *   part 1 hi-A child: ~60 s + 2 x ~135 s                      = ~330 s
-  *     -> headline (efficiency) on stdout by ~1310 s = ~22 min worst
+  * protocol; this one is summed, with inputs re-measured 2026-08-19
+  * after the round-5 kernel work at the 1.5M-clip headline size, NOISY
+  * windows assumed at ~1.5x the quiet readings):
+  *   part 1 lo   child: JVM+gen+warmup ~250 s + 2 reps x ~310 s = ~870 s
+  *   part 1 hi-A child: ~100 s + 2 x ~135 s                     = ~370 s
+  *     -> headline (efficiency) on stdout by ~1240 s = ~21 min worst
   *   part 3 lo   child: build+warmup ~60 s + 2 x ~105 s         = ~270 s
   *   part 3 hi   child: ~40 s + 2 x ~30 s                       = ~100 s
-  *     -> matcher on stdout by ~1680 s = ~28 min worst
-  *   part 3b hi-B child: ~60 s + 2 x ~135 s                     = ~330 s
-  *     -> refined headline on stdout by ~2010 s = ~34 min worst
+  *     -> matcher on stdout by ~1610 s = ~27 min worst
+  *   part 3b hi-B child: ~100 s + 2 x ~135 s                    = ~370 s
+  *     -> refined headline on stdout by ~1980 s = ~33 min worst
   *   part 3b' matcher hi-B child (second wall-clock window, same
   *     time-split rationale as the dedup level):                = ~100 s
   *   part 3c (symmetric dedup escalation, at most ONE of):
   *     lo-B child, 1 rep (efficiency > 1.0 or lo calib-suspect,
-  *       > 700 s of budget remain)                              = ~580 s
+  *       > 700 s of budget remain)                              = ~560 s
   *     hi-C child, 2 reps (efficiency < 0.85 or hi calib-suspect,
-  *       > 400 s of budget remain)                              = ~330 s
+  *       > 400 s of budget remain)                              = ~370 s
   *   part 3d (symmetric matcher escalation, same triggers on the
   *     matcher levels, at most ONE of): lo 1 rep ~165 s / hi ~100 s
   *     (> 400/150 s of budget; if a dedup lo escalation already ran,
   *     the budget check skips this)
-  *   part 4 peak child: ~45 s + 1-2 x ~145 s + metrics ~60 s    = ~400 s
+  *   part 4 peak child: ~80 s + 1-2 x ~120 s + metrics ~90 s    = ~410 s
   *     (2 reps when > 500 s of soft budget remain — clock-decided,
   *     never metric-conditioned; skipped entirely below 300 s)
   *   part 5 sweep: ~190 s quiet (incl. the ~10 s emb-guards and ~30 s
   *     audio-guards passes), deadline-capped (1-rep mode sheds the
   *     audio pass, then skip)
-  *   north-rule parts land on stdout at 22/28/36(/45 escalated-lo) min
+  *   north-rule parts land on stdout at 21/27/35(/44 escalated-lo) min
   *   worst — each line a complete artifact, so a driver kill anywhere
   *   past ~22 min still ships a headline — and the budget-conditional
   *   tail (escalation, then peak, then sweep) degrades in reverse
@@ -263,7 +272,7 @@ object Bench {
     val hiCpus = loCpus * 4 // 4N
     val ratio = hiCpus.toDouble / loCpus
     val dedupClusters =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "300000").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "600000").toInt
     // warmup bounded independently of n: it exists to JIT the kernel and
     // compile codegen, not to re-run the workload (n/8 of the 750k
     // headline would cost ~2 min of 1-core wall by itself)
