@@ -104,7 +104,10 @@ object ClipDedup {
     //      bucket; shared builder with DedupPipeline) ----
     val sketches = r.stage("sketches",
         Seq("id", "norm", "lc", "len", "sim", "bands", "anakey")) {
-      DedupPipeline.sketchBase(norms, cfg, K)
+      // lc computed per row BEFORE sketchBase's group-by (the norms
+      // stage keeps the full text for lineage; the shuffle doesn't)
+      DedupPipeline.sketchBase(
+        norms.withColumn("lc", K.caseClass(col("text"))), cfg, K)
     }
 
     // ---- stage 3: candidate pairs (one keyed union over LSH + simhash

@@ -157,11 +157,19 @@ object DedupPipeline {
     val idExpr = if (wide) col(idCol) else col(idCol).cast("long")
     val nhExpr: Column => Column =
       if (wide) n => unhex(md5(n)) else n => xxhash64(n)
+    // the checkpointed row universe carries (id, norm, nh, lc) — NOT the
+    // raw text: norm is what every downstream stage consumes, and lc
+    // (first-codepoint case class) is the only other fact the verify
+    // kernel needs from the original text, so dropping text here shrinks
+    // the materialized universe and the sketch shuffle by the full text
+    // payload per row
     val rowsCut = graft.spark.Checkpoints.cut(
       df.select(idExpr.as("id"),
         col(textCol).cast("string").as("text"))
         .withColumn("norm", K.normKey(col("text")))
-        .withColumn("nh", nhExpr(col("norm"))))
+        .withColumn("nh", nhExpr(col("norm")))
+        .withColumn("lc", K.caseClass(col("text")))
+        .drop("text"))
     val rows = rowsCut.df // read twice: exact stage + rep election
     val nRows = metric(rows.count())
 
@@ -235,18 +243,22 @@ object DedupPipeline {
     * edge sets compose) keeps every LSH bucket bounded by the number of
     * DISTINCT texts sharing a band — identical texts can never pile into
     * one bucket — and runs the sketch UDF once per distinct text instead
-    * of once per row. Input: (id, text, norm, nh) rows; output base:
-    * (id, norm, lc, len, sim, bands, anakey).
+    * of once per row. Input: (id, norm, nh, lc) rows — the case class is
+    * computed per ROW before this group-by so the shuffle carries a
+    * 1-byte lc instead of the full text payload (caseClass reads only
+    * the first codepoint; the min-id representative's lc is the same
+    * either way because the struct min short-circuits at the unique id).
+    * Output base: (id, norm, lc, len, sim, bands, anakey).
     */
   def sketchBase(rows: DataFrame, cfg: DedupConfig, K: Kernels): DataFrame =
     rows
       .groupBy("nh")
-      .agg(min(struct(col("id"), col("text"), col("norm"))).as("r"))
-      .select(col("r.id").as("id"), col("r.text").as("text"),
-        col("r.norm").as("norm"))
+      .agg(min(struct(col("id"), col("norm"), col("lc"))).as("r"))
+      .select(col("r.id").as("id"), col("r.norm").as("norm"),
+        col("r.lc").as("lc"))
       .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
         cfg.minhashK, cfg.bands, cfg.rowsPerBand))
-      .select(col("id"), col("norm"), K.caseClass(col("text")).as("lc"),
+      .select(col("id"), col("norm"), col("lc"),
         length(col("norm")).as("len"),
         col("sk._2").as("sim"), col("sk._3").as("bands"),
         col("sk._4").as("anakey"))

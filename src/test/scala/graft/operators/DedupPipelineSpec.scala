@@ -178,7 +178,8 @@ class DedupPipelineSpec extends SparkSpecBase {
     val base = DedupPipeline.sketchBase(
       docs.select(col("id"), col("text"))
         .withColumn("norm", K.normKey(col("text")))
-        .withColumn("nh", xxhash64(col("norm"))), cfg2, K)
+        .withColumn("nh", xxhash64(col("norm")))
+        .withColumn("lc", K.caseClass(col("text"))), cfg2, K)
     val got = DedupPipeline.containmentEdges(base, cfg2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // naive oracle over the normalized texts
