@@ -524,24 +524,40 @@ final class LocalVariantModel(
       // that overflows Long is strictly larger than any Long candidate,
       // so the mixed case is a constant false.
       val probeLongs = values.map(v => if (v.bitLength <= 62) v.longValueExact else 0L)
+      // chars present in EVERY probe of this bucket: a candidate missing
+      // any of them can satisfy no probe, so it dies on ONE mask AND
+      // without entering the probe loop. Deletion probes only remove up
+      // to maxDistance chars from the focus, so this common mask keeps
+      // most focus chars and rejects the typical candidate outright.
+      var commonMask = -1L
+      var cmI = 0
+      while (cmI < probeMasks.length) {
+        commonMask &= probeMasks(cmI); cmI += 1
+      }
       var ci = 0
       while (ci < candidates.length) {
+        // only candMasks streams on the (dominant) reject path — the
+        // candLongs read is deferred until a probe's mask fits, halving
+        // the bytes touched per rejected candidate; this scan is the
+        // matcher's memory-bandwidth hot spot at multi-core
         val cMask = candMasks(ci)
-        val cL = candLongs(ci)
-        var pi = 0
-        var found = false
-        while (pi < values.length && !found) {
-          if ((probeMasks(pi) & ~cMask) == 0) {
-            val pL = probeLongs(pi)
-            val hit =
-              if (cL != 0L) pL != 0L && pL <= cL && cL % pL == 0L
-              else AnaHash.contains(candidates(ci), values(pi))
-            if (hit) {
-              nearest += candidates(ci)
-              found = true
+        if ((commonMask & ~cMask) == 0) {
+          var pi = 0
+          var found = false
+          while (pi < values.length && !found) {
+            if ((probeMasks(pi) & ~cMask) == 0) {
+              val cL = candLongs(ci)
+              val pL = probeLongs(pi)
+              val hit =
+                if (cL != 0L) pL != 0L && pL <= cL && cL % pL == 0L
+                else AnaHash.contains(candidates(ci), values(pi))
+              if (hit) {
+                nearest += candidates(ci)
+                found = true
+              }
             }
+            pi += 1
           }
-          pi += 1
         }
         ci += 1
       }
