@@ -208,13 +208,16 @@ object FastHash {
   }
 
   /** Column: the pipeline's full per-row sketch in ONE text pass:
-    * struct<sig, sim, bands, anakey>. Computing the 42 band keys
+    * struct<sim, bands, anakey>. Computing the 42 band keys
     * numerically here instead of as per-band Catalyst string expressions
     * removes ~42 string concat+hash ops per row from the explode stage.
-    * The signature is [[minhashOPH]] (one-permutation + densification):
-    * same LSH statistics as the k-permutation loop at ~1/k the hash
-    * work — the production sketch stage was permutation-bound (round-4
-    * phase profile: 137 s of the 404 s 1-core wall).
+    * Band keys derive from a [[minhashOPH]] signature (one-permutation +
+    * densification): same LSH statistics as the k-permutation loop at
+    * ~1/k the hash work — the production sketch stage was
+    * permutation-bound (round-4 phase profile: 137 s of the 404 s 1-core
+    * wall). The raw 128-long signature itself stays INSIDE the UDF: no
+    * downstream stage consumes it, and returning it serialized ~1 KB per
+    * distinct norm into the sketch checkpoint for nothing.
     */
   def sketchFull(c: Column, n: Int, k: Int, bands: Int,
       rowsPerBand: Int): Column = {
@@ -222,7 +225,7 @@ object FastHash {
       Option(s).map { x =>
         val hs = shingleHashes(x, n)
         val sig = minhashOPH(hs, k)
-        (sig, simhash(hs), bandKeys(sig, bands, rowsPerBand), anagramKey(x))
+        (simhash(hs), bandKeys(sig, bands, rowsPerBand), anagramKey(x))
       }
     }
     f(c)

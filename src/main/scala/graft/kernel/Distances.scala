@@ -181,10 +181,38 @@ object Distances {
     * <= maxDistance: every cell value >= |i-j|, and any transposition
     * reference cell of such a path is itself within the band) and with
     * reusable thread-local buffers. Returns -1 if > maxDistance.
+    *
+    * Two hot-path cuts, both exactness-preserving (DistancesPropSpec
+    * pins vs the unstripped full DP, including exhaustively over every
+    * string pair up to length 5 on a 3-char alphabet):
+    *  - common PREFIX/SUFFIX are stripped before the DP (the unrestricted
+    *    DL metric is affix-invariant): verify candidates are near-dups,
+    *    so the band usually collapses to the few differing middle chars;
+    *  - ROW-MIN EARLY ABORT: row minima of the DL matrix are
+    *    non-decreasing (del/ins/sub read the previous or current row
+    *    +>=0; a transposition referencing row l adds (i-l-1)+1+... >= i-l,
+    *    and rowMin(i-1) <= rowMin(l)+(i-1-l) since deletion bounds
+    *    row-to-row growth by 1 — so every term >= rowMin(i-1)), and
+    *    in-band banded values are exact whenever <= maxDistance (a path
+    *    of cost c never leaves the |i-j| <= c diagonal band), so once a
+    *    row's banded min AND its boundary cell (= row index) both exceed
+    *    maxDistance the final cell must too — reject without finishing
+    *    the matrix. Far pairs (the verify stage's majority) exit after
+    *    ~maxDistance+1 diverging rows.
     */
   def dlChars(s: CharSequence, t: CharSequence, maxDistance: Int): Int = {
-    val lenS = s.length
-    val lenT = t.length
+    val lenS0 = s.length
+    val lenT0 = t.length
+    // strip the common prefix, then the common suffix of the remainder
+    val minLen0 = math.min(lenS0, lenT0)
+    var p = 0
+    while (p < minLen0 && s.charAt(p) == t.charAt(p)) p += 1
+    var e = 0
+    val maxE = minLen0 - p
+    while (e < maxE && s.charAt(lenS0 - 1 - e) == t.charAt(lenT0 - 1 - e))
+      e += 1
+    val lenS = lenS0 - p - e
+    val lenT = lenT0 - p - e
     if (lenS == 0) return if (lenT > maxDistance) -1 else lenT
     if (lenS > lenT && lenS - lenT > maxDistance) return -1
     if (lenT == 0) return if (lenS > maxDistance) -1 else lenS
@@ -222,15 +250,16 @@ object Distances {
     val band = maxDistance
     i = 0
     while (i < lenS) {
-      val sChar = s.charAt(i)
+      val sChar = s.charAt(p + i)
       var db = 0
       val ii = i + 1
       // band: only j with |i - j| <= band can be <= maxDistance
       var j = math.max(0, i - band)
       val jEnd = math.min(lenT, i + band + 1)
+      var rowMin = Int.MaxValue
       while (j < jEnd) {
         val jj = j + 1
-        val tChar = t.charAt(j)
+        val tChar = t.charAt(p + j)
         val last = if (sc.lastGen(tChar) == gen) sc.last(tChar) else 0
         val cost = if (sChar == tChar) 0 else 1
         val del = rd((ii + 1) * w + jj) + 1
@@ -242,11 +271,15 @@ object Distances {
         if (sub < m) m = sub
         if (trans < m) m = trans
         wr((ii + 1) * w + jj + 1, m)
+        if (m < rowMin) rowMin = m
         if (cost == 0) db = jj
         j += 1
       }
       // cells outside the band are never written and read as inf via the
-      // gen stamps
+      // gen stamps. Row-min early abort (see scaladoc): the boundary
+      // cell D(ii, 0) = ii joins the min — for ii <= maxDistance a path
+      // may still re-enter through it.
+      if (rowMin > maxDistance && ii > maxDistance) return -1
       sc.last(sChar) = ii
       sc.lastGen(sChar) = gen
       i += 1

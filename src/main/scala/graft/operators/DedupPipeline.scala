@@ -260,8 +260,8 @@ object DedupPipeline {
         cfg.minhashK, cfg.bands, cfg.rowsPerBand))
       .select(col("id"), col("norm"), col("lc"),
         length(col("norm")).as("len"),
-        col("sk._2").as("sim"), col("sk._3").as("bands"),
-        col("sk._4").as("anakey"))
+        col("sk._1").as("sim"), col("sk._2").as("bands"),
+        col("sk._3").as("anakey"))
 
   /** Exact duplicates: window-min star edges, not collect_list — a
     * pathological million-copy text must not materialize a

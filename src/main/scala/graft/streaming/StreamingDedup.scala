@@ -59,7 +59,7 @@ object StreamingDedup {
       .withColumn("lc", K.caseClass(col(textCol)).cast("byte"))
       .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
         cfg.minhashK, cfg.bands, cfg.rowsPerBand))
-      .select(explode(col("sk._3")).as("k"), col(idCol).cast("long").as("id"),
+      .select(explode(col("sk._2")).as("k"), col(idCol).cast("long").as("id"),
         col("norm"), col("lc"))
   }
 

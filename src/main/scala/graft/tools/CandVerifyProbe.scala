@@ -48,8 +48,8 @@ object CandVerifyProbe {
             cfg.minhashK, cfg.bands, cfg.rowsPerBand))
           .select(col("id"), col("norm"), K.caseClass(col("text")).as("lc"),
             length(col("norm")).as("len"),
-            col("sk._2").as("sim"), col("sk._3").as("bands"),
-            col("sk._4").as("anakey")))
+            col("sk._1").as("sim"), col("sk._2").as("bands"),
+            col("sk._3").as("anakey")))
         mark("sketch")
         val chunkBits = 64 / cfg.simhashBands
         val keyedAll = base.df.select(col("id"), col("len"),

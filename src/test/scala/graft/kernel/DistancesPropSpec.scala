@@ -38,6 +38,39 @@ class DistancesPropSpec extends AnyFunSuite {
     }
   }
 
+  test("dlChars affix-strip + row-min abort: exhaustive parity, len<=5 over 3 chars") {
+    // every pair of strings up to length 5 on a 3-char alphabet (364^2
+    // pairs x 5 caps): small alphabets maximize transposition / repeated-
+    // char interactions — the cases where affix stripping or an early
+    // abort could diverge from the full Lowrance-Wagner DP if either
+    // were unsound
+    val alpha = "abc"
+    val strings = scala.collection.mutable.ArrayBuffer("")
+    var level = Seq("")
+    for (_ <- 1 to 5) {
+      level = for (s <- level; c <- alpha) yield s + c
+      strings ++= level
+    }
+    for (a <- strings; b <- strings; max <- Seq(0, 1, 2, 3, 6)) {
+      assert(Distances.dlChars(a, b, max) ==
+        Distances.damerauLevenshtein(ints(a), ints(b), max),
+        s"a=$a b=$b max=$max")
+    }
+  }
+
+  test("dlChars parity on transposition-heavy binary strings") {
+    // longer random strings over a 2-char alphabet: dense equal-char
+    // runs, many last-occurrence references spanning the stripped affixes
+    for (_ <- 0 until 20000) {
+      val a = String.valueOf(Array.fill(rng.nextInt(13))(('a' + rng.nextInt(2)).toChar))
+      val b = String.valueOf(Array.fill(rng.nextInt(13))(('a' + rng.nextInt(2)).toChar))
+      val max = rng.nextInt(7)
+      assert(Distances.dlChars(a, b, max) ==
+        Distances.damerauLevenshtein(ints(a), ints(b), max),
+        s"a=$a b=$b max=$max")
+    }
+  }
+
   test("lcs/prefix/suffix char forms match array forms") {
     for (_ <- 0 until 5000) {
       val a = randKey(24)
