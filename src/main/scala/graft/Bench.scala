@@ -274,9 +274,14 @@ object Bench {
     val dedupClusters =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "600000").toInt
     // warmup bounded independently of n: it exists to JIT the kernel and
-    // compile codegen, not to re-run the workload (n/8 of the 750k
-    // headline would cost ~2 min of 1-core wall by itself)
-    val warmClusters = math.max(300, math.min(dedupClusters / 8, 20000))
+    // compile codegen, not to re-run the workload. The bound tracks the
+    // kernel speed: at the round-4 kernels 20k clusters was ~2 min of
+    // 1-core wall; at the round-5 kernels it is ~4 s — under the C2
+    // compile thresholds, so the first timed rep carried the compiler
+    // (lo rep1/rep2 measured 2.2x with a 20k warmup vs 1.3x after a 75k
+    // warmup in DedupStageBench). 80k clusters costs ~15-20 s at 1 core
+    // and moves the JIT out of the timed reps.
+    val warmClusters = math.max(300, math.min(dedupClusters / 8, 80000))
 
     // ---- cumulative emission ----------------------------------------
     // Two lines per completed part: the CUMULATIVE full-schema line

@@ -114,6 +114,20 @@ object CandVerifyProbe {
           .select(col("a").as("src"), col("b").as("dst"))
         System.err.println(s"[probe$rep] verifiedNative=${verifiedNative.count()}")
         mark("verify-native")
+        // the ACTUAL production path: pair_accept decision (native
+        // codegen; skips the exact-LCS DP whenever the prefix/suffix
+        // lower bound or the minLen upper bound already decides)
+        val verifiedAccept = candidates.df
+          .join(texts.select(col("id").as("a"), col("norm").as("na"),
+            col("lc").as("lca")), Seq("a"))
+          .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+            col("lc").as("lcb")), Seq("b"))
+          .filter(K.pairAcceptPreIn(spark)(col("na"), col("nb"),
+            col("lca"), col("lcb"), cfg.maxEditDistance,
+            cfg.scoreThreshold, cfg.weights))
+          .select(col("a").as("src"), col("b").as("dst"))
+        System.err.println(s"[probe$rep] verifiedAccept=${verifiedAccept.count()}")
+        mark("verify-accept")
         System.err.println(s"[probe$rep] candidates=${candidates.df.count()} verified=${verified.df.count()}")
         t0 = System.nanoTime()
         Seq(rows, base, hot, candidates, verified).foreach(_.release())
