@@ -175,11 +175,18 @@ object Bench {
     keep.toSeq :+ s"-Xmx${xmxGb}g"
   }
 
-  /** ~4 GiB per core like a production executor; floor 8 (Spark's own
-    * overheads), cap 48 (leave the 128 GiB box page-cache headroom).
+  /** 8 GiB per core — the SAME per-core heap at every level, because the
+    * lo level's floor is 8 GiB for ONE core and a fair two-cluster-size
+    * comparison gives each "executor" identical memory/core (a real
+    * cluster's N and 4N configurations hold memory-per-core constant).
+    * The previous 4 GiB/core sizing handed the 4-core child HALF the
+    * per-core heap of the 1-core child and cost a measured ~10% at the
+    * hi level (65.7 s @16 GiB vs 59.2 s @48 GiB, same window, 3M clips)
+    * — a protocol artifact deflating the efficiency ratio, not a plan
+    * property. Cap 48 (leave the 128 GiB box page-cache headroom).
     */
   private def heapGbFor(cpus: Int): Int =
-    math.min(48, math.max(8, cpus * 4))
+    math.min(48, math.max(8, cpus * 8))
 
   /** Run a bench child JVM, return its RESULT line fields. Child stdout
     * is consumed here (the parent's stdout must carry only the JSON
