@@ -55,33 +55,42 @@ import org.apache.spark.sql.SparkSession
   *  4. the SparkEntry operator queries at the given sf dir, each forced
   *     end-to-end with a noop sink; deadline-aware (see budget below).
   *
-  * Sampling protocol (BASELINE.md) — rep counts fixed BEFORE any
-  * measurement, never conditioned on the value of the metric being
-  * reported:
-  *  - the lo (1-core) level gets ONE fresh child JVM running EXACTLY 2
-  *    timed reps; the hi (4-core) level gets EXACTLY 4, split as TWO
-  *    child JVMs of 2 reps each with the matcher part between them
-  *    (~8-10 min of wall). The asymmetry and the split are experimental
-  *    design, not cherry-picking: host-window noise is one-sided (it
-  *    only ever ADDS time to a deterministic job, so min over reps is a
-  *    floor estimator that extra samples can only tighten toward the
-  *    true time), it is concentrated on the multi-core level — measured
-  *    rep spreads ~2-15% at 1 core vs up to 3x at 4+ cores — and it is
-  *    EPISODIC on ~10-30 min scales, longer than one hi child: the two
-  *    round-4 probe runs measured all hi reps of a contiguous child at
-  *    132-190 s while the same binary+input ran 106 s twenty minutes
-  *    later (phase-level strong scaling that quiet probe measured:
-  *    sketch 4.24x, candidates+verify 3.76x, total 3.80x of 4 =
-  *    efficiency 0.95 — there is no serial floor; only the window
-  *    moves). Consecutive reps inside one child cannot escape a noise
-  *    episode that covers the child, so the second pair of hi samples
-  *    runs at a DIFFERENT point of the wall clock. A hi rep costs ~1/3
-  *    of a lo rep, so all four hi samples cost ~2/3 of one extra lo
-  *    rep. Every rep is echoed in the JSON (hi_reps carries both
-  *    children, oldest first) so the window quality is visible.
-  *    Heap per child ~4 GiB/core, floor 8, cap 48 (production executor
-  *    sizing); peak runs 1 rep (throughput evidence only, not part of
-  *    any efficiency ratio) and is budget-conditional.
+  * Sampling protocol (BASELINE.md) — rep BOUNDS fixed BEFORE any
+  * measurement; within them, sampling is adaptive on the REP SERIES
+  * SHAPE only (convergence), identically at every level, never on the
+  * efficiency being reported:
+  *  - each child runs DedupStageBench.timedReps: at least minReps timed
+  *    reps, continuing (to a rep cap AND a per-child wall deadline)
+  *    only while the last rep improved the best by >10% (a JIT tail
+  *    still descending) or read >1.3x the best (a noise burst — the
+  *    floor is unconfirmed exactly then). Both triggers tighten the
+  *    level's min toward its true time; both apply at lo and hi alike.
+  *  - the lo (1-core) level gets ONE fresh child JVM (bounded 80k
+  *    warmup, minReps 2 / maxReps 3 / deadline 650 s): 1-core spreads
+  *    are 2-15% and its shallow rep-1 JIT tail (~1.25-1.4x) is cheaper
+  *    to discard via min-of-reps than to pre-warm (~270 s). The hi
+  *    (4-core) level gets TWO child JVMs (minReps 2 / maxReps 4 /
+  *    deadline 360 s each) with the matcher part between them (~8-10
+  *    min of wall): noise is EPISODIC on ~10-30 min scales, longer
+  *    than one child, so the second child samples a different window.
+  *    Hi children warm up with one UNTIMED FULL-SIZE pass (fresh seed):
+  *    the full-size JIT tail costs 1-2 reps (measured rep sequences
+  *    [112.8, 85.7, 52.7, 69.5, 54.2, 49.7] at 4 cores, quiet calibs,
+  *    after an 80k warmup; -Xms+AlwaysPreTouch ruled out page faults)
+  *    and at the hi level that tail rep costs the same ~110 s as the
+  *    warmup — spending it untimed makes every timed rep a valid floor
+  *    sample, where run I's 2-rep children never escaped the JIT phase
+  *    (hi_reps 87-425 s vs a converged ~50 s floor).
+  *    Noise is one-sided (it only ever ADDS time to a deterministic
+  *    job), so min over reps is a floor estimator that extra samples
+  *    only tighten. Every rep is echoed in the JSON (hi_reps carries
+  *    all children, oldest first) and every rep is BRACKETED by
+  *    calibration probes (calib_sec: pre + after each rep) so window
+  *    quality is visible per rep, not per child.
+  *    Heap per child 8 GiB/core, cap 48 (memory-per-core parity across
+  *    levels, as a real cluster holds); peak runs 1-2 reps (throughput
+  *    evidence only, not part of any efficiency ratio) and is
+  *    budget-conditional.
   *  - lo runs before hi within each part, parts interleave the levels
   *    across the wall clock so multi-hour host-window drift (same
   *    commit+input measured 60 s vs 145-200 s at 4 cores hours apart)
@@ -114,44 +123,46 @@ import org.apache.spark.sql.SparkSession
   *    over time-diversified children stays the primary defense.
   *
   * WORST-CASE WALL BUDGET (the round-3 failure was an un-summed
-  * protocol; this one is summed. The per-rep inputs — lo ~205 s quiet /
-  * ~310 s noisy, hi ~90 s / ~135 s — were measured 2026-08-19 at
-  * 1.5M clips on the pre-run-F kernels and re-apply unchanged to the
-  * 3M-clip headline on the run-F kernels: the second kernel wave
-  * halved per-clip cost, the resize doubled the clips. NOISY windows
-  * assumed at ~1.5x the quiet readings):
-  *   part 1 lo   child: JVM+gen+warmup ~250 s + 2 reps x ~310 s = ~870 s
-  *   part 1 hi-A child: ~100 s + 2 x ~135 s                     = ~370 s
-  *     -> headline (efficiency) on stdout by ~1240 s = ~21 min worst
-  *   part 3 lo   child: build+warmup ~60 s + 2 x ~105 s         = ~270 s
-  *   part 3 hi   child: ~40 s + 2 x ~30 s                       = ~100 s
-  *     -> matcher on stdout by ~1610 s = ~27 min worst
-  *   part 3b hi-B child: ~100 s + 2 x ~135 s                    = ~370 s
-  *     -> refined headline on stdout by ~1980 s = ~33 min worst
-  *   part 3b' matcher hi-B child (second wall-clock window, same
-  *     time-split rationale as the dedup level):                = ~100 s
+  * protocol; this one is summed, with per-child DEADLINES capping the
+  * adaptive sampling. Quiet per-rep inputs at 3M clips on the run-F/H
+  * kernels: lo ~180-270 s, hi ~50-115 s, matcher lo ~95-110 s /
+  * hi ~21-28 s; each child's timed section is bounded by its deadline
+  * plus at most one rep that started just under it):
+  *   part 1 lo   child: JVM+gen+warmup ~160 s + timed <=650+270 s = ~1080 s
+  *   part 1 hi-A child: JVM+gen ~65 s + full warmup ~110-170 s +
+  *     timed <=360+135 s                                          = ~730 s
+  *     -> headline (efficiency) on stdout by ~1810 s = ~30 min worst
+  *       (typical quiet: lo [270,190,185] + hi warm+[55,54] = ~19 min)
+  *   part 3 lo   child: build+warmup ~60 s + timed <=260+160 s    = ~480 s
+  *   part 3 hi   child: ~40 s + timed <=90+45 s                   = ~175 s
+  *   part 3b hi-B child (second wall-clock window)                = ~730 s
+  *   part 3b' matcher hi-B child                                  = ~175 s
+  *     -> refined headline on stdout by ~3370 s ABSOLUTE worst — that
+  *     case needs every child pinned at its deadline, i.e. a fully
+  *     degraded 45+ min episode, in which case each completed part has
+  *     already shipped a complete compact line and the numbers carry
+  *     suspect flags; TYPICAL quiet wall for parts 1+3+3b is ~28 min
   *   part 3c (symmetric dedup escalation, at most ONE of):
   *     lo-B child, 1 rep (efficiency > 1.0 or lo calib-suspect,
-  *       > 700 s of budget remain)                              = ~560 s
-  *     hi-C child, 2 reps (efficiency < 0.85 or hi calib-suspect,
-  *       > 400 s of budget remain)                              = ~370 s
+  *       > 700 s of budget remain)                                = ~560 s
+  *     hi-C child (full warm, minReps 2 / maxReps 3 / deadline 240,
+  *       efficiency < 0.85 or hi calib-suspect, > 400 s remain)   = ~610 s
   *   part 3d (symmetric matcher escalation, same triggers on the
-  *     matcher levels, at most ONE of): lo 1 rep ~165 s / hi ~100 s
+  *     matcher levels, at most ONE of): lo 1 rep ~165 s / hi ~175 s
   *     (> 400/150 s of budget; if a dedup lo escalation already ran,
   *     the budget check skips this)
-  *   part 4 peak child: ~80 s + 1-2 x ~120 s + metrics ~90 s    = ~410 s
+  *   part 4 peak child: ~80 s + 1-2 x ~120 s + metrics ~90 s      = ~410 s
   *     (2 reps when > 500 s of soft budget remain — clock-decided,
   *     never metric-conditioned; skipped entirely below 300 s)
   *   part 5 sweep: ~190 s quiet (incl. the ~10 s emb-guards and ~30 s
   *     audio-guards passes), deadline-capped (1-rep mode sheds the
   *     audio pass, then skip)
-  *   north-rule parts land on stdout at 21/27/35(/44 escalated-lo) min
-  *   worst — each line a complete artifact, so a driver kill anywhere
-  *   past ~22 min still ships a headline — and the budget-conditional
-  *   tail (escalation, then peak, then sweep) degrades in reverse
-  *   priority order against the soft budget. A single transient child
-  *   retry (runChild) can add one level's cost; the deadline then
-  *   sacrifices the tail, never parts 1/3/3b.
+  *   The budget-conditional tail (escalation, then peak, then sweep)
+  *   degrades in reverse priority order against the soft budget: its
+  *   gates compare against elapsed wall, so a noisy front half sheds
+  *   the tail automatically. A single transient child retry (runChild)
+  *   can add one level's cost; the deadline then sacrifices the tail,
+  *   never parts 1/3/3b.
   */
 object Bench {
 
@@ -193,7 +204,8 @@ object Bench {
     * lines); child stderr is drained to a buffer and replayed on failure.
     */
   private def runChild(mainClass: String, xmxGb: Int,
-      args: Seq[String], maxReps: Int, withMetrics: Boolean = false,
+      args: Seq[String], maxReps: Int, minReps: Int = -1,
+      deadlineSec: Double = 1e9, withMetrics: Boolean = false,
       attempt: Int = 1): Map[String, String] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
@@ -201,9 +213,13 @@ object Bench {
       Seq("-cp", sys.props("java.class.path"), mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_BENCH_REPS", maxReps.toString)
-    // exact rep counts (minReps == maxReps): the budget above is a sum,
-    // not an estimate — adaptive escalation was the round-3 overrun
-    pb.environment().put("SPARK_GRAFT_BENCH_MIN_REPS", maxReps.toString)
+    // minReps defaults to maxReps (exact rep count); levels with a
+    // convergence window pass minReps < maxReps — bounded by BOTH the
+    // rep cap and the per-child deadline (see timedReps: metric-blind)
+    pb.environment().put("SPARK_GRAFT_BENCH_MIN_REPS",
+      (if (minReps > 0) minReps else maxReps).toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_DEADLINE_SEC",
+      deadlineSec.toString)
     if (withMetrics) pb.environment().put("SPARK_GRAFT_STAGE_METRICS", "1")
     val p = pb.start()
     val errBuf = new java.lang.StringBuilder
@@ -229,7 +245,8 @@ object Bench {
       // one retry: a transient child failure must not zero the round's
       // whole benchmark artifact
       if (attempt < 2)
-        return runChild(mainClass, xmxGb, args, maxReps, withMetrics, 2)
+        return runChild(mainClass, xmxGb, args, maxReps, minReps,
+          deadlineSec, withMetrics, 2)
       sys.error(s"bench child failed: $mainClass")
     }
     result.get.split(' ').drop(1).flatMap { tok =>
@@ -357,21 +374,41 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // fullWarm: warm up with an untimed FULL-SIZE pipeline pass (fresh
+    // seed, same row count) instead of the bounded 80k-cluster table.
+    // The first 1-2 full-size passes of a child run 1.8-2.2x steady
+    // state even after the shape warmup (C2 keeps compiling through
+    // them — measured at 3M clips: rep sequences [112.8, 85.7, 52.7,
+    // 69.5, 54.2, 49.7] at 4 cores with quiet calibs; -Xms+AlwaysPreTouch
+    // ruled page-faulting out). At the hi level that JIT-tail rep costs
+    // the same ~110 s as the full warmup, so spending it UNTIMED buys a
+    // child whose every timed rep is a valid floor sample — run I's
+    // three 2-rep hi children never got past the JIT phase and read
+    // 87-425 s where the converged floor was ~50 s. At the lo level the
+    // tail is shallow (~1.25-1.4x, spreads 2-15%) and a ~270 s full
+    // warmup would cost more than the ~60 s it wastes, so lo keeps the
+    // bounded warmup and lets min-of-reps discard rep 1.
     def dedupChild(withCpus: Int, clusters: Int, maxReps: Int,
+        minReps: Int = -1, deadlineSec: Double = 1e9,
+        fullWarm: Boolean = false,
         withMetrics: Boolean = false): Map[String, String] =
       runChild("graft.tools.DedupStageBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, clusters.toString, warmClusters.toString),
-        maxReps = maxReps, withMetrics = withMetrics)
+        Seq(withCpus.toString, clusters.toString,
+          (if (fullWarm) clusters else warmClusters).toString),
+        maxReps = maxReps, minReps = minReps, deadlineSec = deadlineSec,
+        withMetrics = withMetrics)
 
-    // --- part 1: dedup headline; 2 reps at lo, 4 at hi (the noisy
-    //     level — see the sampling-protocol scaladoc), lo first. The
+    // --- part 1: dedup headline; lo first, then the first hi child (the
+    //     noisy level — see the sampling-protocol scaladoc). The
     //     efficiency number is on stdout the moment this part ends;
     //     peak (throughput-only evidence) moves to part 4 behind a
     //     budget check so it can never delay the headline ---
-    val dLo = dedupChild(loCpus, dedupClusters, maxReps = 2)
+    val dLo = dedupChild(loCpus, dedupClusters, maxReps = 3, minReps = 2,
+      deadlineSec = 650)
     val loChildren = scala.collection.mutable.ArrayBuffer(dLo)
     val hiChildren = scala.collection.mutable.ArrayBuffer(
-      dedupChild(hiCpus, dedupClusters, maxReps = 2))
+      dedupChild(hiCpus, dedupClusters, maxReps = 4, minReps = 2,
+        deadlineSec = 360, fullWarm = true))
     val nClips = dLo("clips").toLong
     def loReps = repsOf(loChildren.toSeq)
     def hiReps = repsOf(hiChildren.toSeq)
@@ -461,9 +498,14 @@ object Bench {
 
     // --- part 3: matcher at N and 4N, exactly 2 reps per level, lo first ---
     val nQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "150000").toInt
-    def matcherChild(withCpus: Int, maxReps: Int = 2): Map[String, String] =
+    def matcherChild(withCpus: Int, maxReps: Int = 3): Map[String, String] =
       runChild("graft.tools.MatcherSparkBench", heapGbFor(withCpus),
-        Seq(withCpus.toString, "120000", nQueries.toString), maxReps = maxReps)
+        Seq(withCpus.toString, "120000", nQueries.toString),
+        maxReps = maxReps, minReps = math.min(2, maxReps),
+        // matcher reps are short (lo ~95-110 s, hi ~21-28 s) and carry
+        // no JIT tail (the 5k-query warmup suffices); the convergence
+        // window only buys a 3rd rep on a burst or late improvement
+        deadlineSec = if (withCpus == loCpus) 260 else 90)
     val mLoChildren = scala.collection.mutable.ArrayBuffer(matcherChild(loCpus))
     val mHiChildren = scala.collection.mutable.ArrayBuffer(matcherChild(hiCpus))
     def mLoReps = repsOf(mLoChildren.toSeq)
@@ -502,7 +544,8 @@ object Bench {
     //     outlast a whole child, see the sampling-protocol scaladoc)
     //     leaves the other's floor intact. Same fixed rep budget (4 hi
     //     total), decided before any measurement ---
-    hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 2)
+    hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 4,
+      minReps = 2, deadlineSec = 360, fullWarm = true)
     hiSec = tHi
     renderDedup(None)
     partsDone += "dedup_resample"
@@ -543,7 +586,8 @@ object Bench {
       emit(finalLine = false)
     } else if ((efficiency < 0.85 || hiSuspect) &&
         budgetSec - elapsedSec > 400) {
-      hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 2)
+      hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 3,
+        minReps = 2, deadlineSec = 240, fullWarm = true)
       hiSec = tHi
       renderDedup(None)
       partsDone += "dedup_escalate_hi"
@@ -561,7 +605,7 @@ object Bench {
       emit(finalLine = false)
     } else if ((mEfficiency < 0.85 || mHiSuspect) &&
         budgetSec - elapsedSec > 150) {
-      mHiChildren += matcherChild(hiCpus, maxReps = 2)
+      mHiChildren += matcherChild(hiCpus)
       renderMatcher()
       partsDone += "matcher_escalate_hi"
       emit(finalLine = false)

@@ -71,6 +71,55 @@ object DedupStageBench {
     workers.map(_.calibSec).max
   }
 
+  /** Convergence-aware timed-rep driver shared by the bench children
+    * (dedup + matcher). Samples at least `minReps`; past that it keeps
+    * sampling only while the series has NOT converged on a floor —
+    * the last rep either improved the best by >10% (the JIT tail: on
+    * this workload the first 1-2 full-size passes run 1.8-2.2x even
+    * after a pipeline-shape warmup, and C2 keeps compiling through
+    * them) or read >1.3x the best (a host noise burst — the old rule
+    * stopped exactly when noise hit, which is when the floor needs
+    * MORE samples, not fewer). Bounded twice, both metric-blind: a
+    * rep-count cap (`maxReps`) and a wall-clock deadline over the
+    * TIMED section (`deadlineSec`; a rep started before the deadline
+    * may finish past it — callers budget deadline + one rep). The rule
+    * is identical at every parallelism level, so adaptive sampling
+    * tightens each level's min toward its true time symmetrically.
+    *
+    * A calibration probe runs before the first rep and after EVERY rep
+    * (pre, after-rep-1, ..., after-rep-n) so each rep in the artifact
+    * is bracketed by host-window evidence, not just the child as a
+    * whole (run I: a 424.8 s rep sat between two quiet per-child
+    * calibs 10 minutes apart and was indistinguishable from signal).
+    *
+    * Returns (rep times, calib times).
+    */
+  def timedReps(minReps: Int, maxReps: Int, deadlineSec: Double,
+      label: String)(rep: Int => Double): (Seq[Double], Seq[Double]) = {
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calibs += bandwidthCalib(8)
+    val t0 = System.nanoTime()
+    def elapsed = (System.nanoTime() - t0) / 1e9
+    var continue = true
+    while (continue) {
+      val prevBest = if (times.isEmpty) Double.MaxValue else times.min
+      val dt = rep(times.length + 1)
+      times += dt
+      calibs += bandwidthCalib(8)
+      val improving = dt < prevBest * 0.90
+      val burst = times.length > 1 && dt > times.min * 1.30
+      continue = times.length < minReps ||
+        (times.length < maxReps && (improving || burst) &&
+          elapsed < deadlineSec)
+      if (!continue && times.length < maxReps && elapsed >= deadlineSec &&
+          (improving || burst))
+        System.err.println(f"[$label] deadline ${deadlineSec}%.0fs hit " +
+          f"after ${times.length} reps (elapsed $elapsed%.1fs)")
+    }
+    (times.toSeq, calibs.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val n = args(1).toInt
@@ -103,33 +152,23 @@ object DedupStageBench {
       val clips = ClipGen.transcriptTable(spark, 42L, n)
         .select(xxhash64(col("clip_id")).as("id"), col("transcript")).cache()
       val total = clips.count()
-      // adaptive timed repeats, min taken: at least minReps; keep going
-      // (to a cap) only while a rep still improves the best by >10% — on
-      // a noisy host window the floor needs more samples, on a quiet one
-      // the minimum suffices (rep-to-rep swings up to 3x measured on
-      // identical deterministic work while pure-CPU baselines stayed flat)
+      // convergence-aware timed repeats, min taken — see [[timedReps]]
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       val minReps =
         math.min(maxReps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_REPS", "2").toInt)
-      // window calibration before the first and after the last timed rep
-      // (see bandwidthCalib): inflated calib <=> inflated reps = a host
-      // episode, visible in the artifact next to the numbers it taints
-      val calibPre = bandwidthCalib(8)
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var continue = true
-      while (continue) {
-        val rep = times.length + 1
-        val prevBest = if (times.isEmpty) Double.MaxValue else times.min
-        val t0 = System.nanoTime()
-        val (assignments, _) = DedupPipeline.run(spark, clips, "id",
-          "transcript", DedupConfig(), collectMetrics = false)
-        assignments.write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[dedup-phase] rep$rep $dt%.2fs clips=$total cpus=$cpus")
-        times += dt
-        continue = times.length < minReps ||
-          (times.length < maxReps && dt < prevBest * 0.90)
-      }
+      val deadlineSec = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1e9").toDouble
+      val (times, calibs) =
+        timedReps(minReps, maxReps, deadlineSec, "dedup-phase") { rep =>
+          val t0 = System.nanoTime()
+          val (assignments, _) = DedupPipeline.run(spark, clips, "id",
+            "transcript", DedupConfig(), collectMetrics = false)
+          assignments.write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[dedup-phase] rep$rep $dt%.2fs clips=$total cpus=$cpus")
+          dt
+        }
       // optional UNTIMED metrics pass (guard counters for the BENCH
       // artifact: dropped buckets, candidate/verified pairs) — metric
       // counts are extra driver actions, so they never run inside a
@@ -142,14 +181,13 @@ object DedupStageBench {
           s" dropped=${m.nDroppedBuckets} cand=${m.nCandidatePairs}" +
             s" verified=${m.nVerifiedEdges} clusters=${m.nClusters}"
         } else ""
-      val calibPost = bandwidthCalib(8)
       System.err.println(
         f"[dedup-phase] TOTAL ${times.min}%.2fs clips=$total cpus=$cpus " +
-          f"calib=$calibPre%.2f/$calibPost%.2f")
+          s"calib=${calibs.map(c => f"$c%.2f").mkString("/")}")
       // machine-readable line for the Bench orchestrator (child-JVM mode)
       println(f"RESULT dedup min=${times.min}%.3f " +
         s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
-        f"calib=$calibPre%.3f,$calibPost%.3f " +
+        s"calib=${calibs.map(c => f"$c%.3f").mkString(",")} " +
         s"clips=$total cpus=$cpus" + guards)
     } finally spark.stop()
   }

@@ -57,27 +57,23 @@ object MatcherSparkBench {
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       val minReps = math.min(maxReps,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_REPS", "2").toInt)
-      // same host-window calibration as the dedup children (pre/post the
-      // timed reps): the matcher level gets suspect flags + symmetric
-      // escalation in Bench too, and those need the probe beside the reps
-      val calibPre = DedupStageBench.bandwidthCalib(8)
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var continue = true
-      while (continue) {
-        val prevBest = if (times.isEmpty) Double.MaxValue else times.min
+      val deadlineSec = sys.env
+        .getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1e9").toDouble
+      // same convergence-aware rep driver + per-rep host-window
+      // calibration as the dedup children (see DedupStageBench.timedReps):
+      // the matcher level gets suspect flags + symmetric escalation in
+      // Bench too, and those need the probe beside the reps
+      val (times, calibs) = DedupStageBench.timedReps(
+        minReps, maxReps, deadlineSec, "matcher-phase") { rep =>
         val t0 = System.nanoTime()
         matcher(qdf, params).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(
-          f"[matcher-phase] rep${times.length + 1} $dt%.2fs cpus=$cpus")
-        times += dt
-        continue = times.length < minReps ||
-          (times.length < maxReps && dt < prevBest * 0.90)
+        System.err.println(f"[matcher-phase] rep$rep $dt%.2fs cpus=$cpus")
+        dt
       }
-      val calibPost = DedupStageBench.bandwidthCalib(8)
       println(f"RESULT matcher min=${times.min}%.3f " +
         s"reps=${times.map(t => f"$t%.3f").mkString(",")} " +
-        f"calib=$calibPre%.3f,$calibPost%.3f " +
+        s"calib=${calibs.map(c => f"$c%.3f").mkString(",")} " +
         s"queries=$nQueries cpus=$cpus")
     } finally spark.stop()
   }
