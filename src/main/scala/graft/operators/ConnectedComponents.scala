@@ -138,16 +138,34 @@ object ConnectedComponents {
 
   /** Edge count at or below which the single-task union-find kernel is
     * chosen over the distributed loop (the CC analogue of Spark electing
-    * a broadcast join from size stats): a few million (node, root) longs
-    * fit one task's memory trivially, and the distributed loop's ~12
+    * a broadcast join from size stats): millions of (node, root) longs
+    * fit one task's memory comfortably, and the distributed loop's ~12
     * shuffle stages per round are pure scheduling latency at that size —
     * measured as a flat ~7s floor at EVERY core count, the single biggest
     * scaling-efficiency killer in the dedup job. The verified-edge set is
     * ~O(duplicate pairs), orders of magnitude smaller than the input
     * table, so even multi-billion-row inputs often stay under this; past
     * it, the loop runs with per-round checkpoints.
+    *
+    * 8M (long keys): sized to the PRIMITIVE open-addressing kernel —
+    * worst-case arrays at 16M distinct nodes are ~1 GiB, a fraction of
+    * the 8 GiB/core executor heap this engine assumes, and the kernel
+    * unions >10M edges/s. The original 2M bound was calibrated against
+    * the boxed java.util.HashMap kernel this one replaced (which spent
+    * ~2.4 s boxing at 1.5M edges); left at 2M it pushed the 6M-clip
+    * probe's ~3.1M edges onto the distributed loop for a measured
+    * 65-72 s of star rounds at 1 core vs single-digit seconds in one
+    * task. Wide (128-bit binary) keys still use the boxed-map variant,
+    * so their election stays at the 2M bound below.
     */
-  val defaultLocalKernelMaxEdges = 2000000L
+  val defaultLocalKernelMaxEdges = 8000000L
+
+  /** Single-task election bound for the wide (128-bit binary) key
+    * variant, whose kernel is a boxed java.util.HashMap: boxing costs
+    * ~10x the primitive table per edge, so its break-even vs the
+    * distributed loop sits where the original measurement put it.
+    */
+  val defaultLocalKernelMaxEdgesWide = 2000000L
 
   /** As [[run]], returning a [[Checkpoints.Cut]] the caller must
     * `release()` once its consumer is materialized.
@@ -220,9 +238,13 @@ object ConnectedComponents {
     def key(c: Column): Column = if (wideKeys) c else c.cast("long")
 
     // ---- physical strategy election (stats-driven, like broadcast-join
-    //      selection): small edge sets run a one-task union-find kernel ----
+    //      selection): small edge sets run a one-task union-find kernel;
+    //      wide keys clamp to the boxed-map kernel's lower break-even ----
+    val localMaxEdges =
+      if (wideKeys) math.min(localKernelMaxEdges, defaultLocalKernelMaxEdgesWide)
+      else localKernelMaxEdges
     val edgeCount = edges.count()
-    if (edgeCount <= localKernelMaxEdges) {
+    if (edgeCount <= localMaxEdges) {
       import spark.implicits._
       val pairs = if (!wideKeys) {
         edges
