@@ -100,18 +100,24 @@ import org.apache.spark.sql.SparkSession
   *    FIRST hi child (efficiency from 2 hi reps) and re-emitted with
   *    the refined 4-rep value after the second — a driver kill between
   *    them still ships a complete headline.
-  *  - escalation (part 3c) is SYMMETRIC, bounded at ONE extra child per
-  *    run: an extra lo child when efficiency reads > 1.0 (>1 is
-  *    physically impossible for this job — it means the lo floor is
-  *    episode-inflated, the direction that FABRICATES efficiency; the
-  *    round-4 official run printed 1.128 exactly this way) or when the
-  *    lo level's calibration probes never saw a quiet window; else an
-  *    extra hi child when efficiency reads < 0.85 or the hi calibs were
-  *    all degraded. With a min-floor estimator, one-sided hi-only
-  *    resampling could only ever RAISE the reported number; the
-  *    symmetric trigger removes that bias — extra samples of whichever
-  *    level is suspect tighten its floor toward the true time, in the
-  *    direction honesty requires. The calib gate (min calib of a level
+  *  - escalation (part 3c) is SYMMETRIC: an extra 1-rep lo child when
+  *    efficiency reads > 1.0 (>1 is physically impossible for this
+  *    job — it means the lo floor is episode-inflated, the direction
+  *    that FABRICATES efficiency; the round-4 official run printed
+  *    1.128 exactly this way) or when the lo level's calibration
+  *    probes never saw a quiet window — repeated up to TWICE while the
+  *    reading stays > 1.0 (run L: one escalation rep read 192.9 s in a
+  *    still-degraded window against a best-ever hi floor and the run
+  *    shipped 1.060; a second lo sample is bias-safe to repeat because
+  *    with a min-floor estimator extra LO samples can only LOWER the
+  *    reported efficiency, the honest direction); else ONE extra hi
+  *    child when efficiency reads < 0.85 or the hi calibs were all
+  *    degraded (the hi side stays bounded at one — repeating IT would
+  *    re-introduce the flattering-direction bias). With a min-floor
+  *    estimator, one-sided hi-only resampling could only ever RAISE
+  *    the reported number; the symmetric trigger removes that bias —
+  *    extra samples of whichever level is suspect tighten its floor
+  *    toward the true time, in the direction honesty requires. The calib gate (min calib of a level
   *    > 2x the quiet reference measured in BASELINE.md) is independent
   *    of the metric value; per-level `lo_suspect`/`hi_suspect` flags in
   *    the artifact self-document any reading whose windows were all
@@ -142,15 +148,16 @@ import org.apache.spark.sql.SparkSession
   *     degraded 45+ min episode, in which case each completed part has
   *     already shipped a complete compact line and the numbers carry
   *     suspect flags; TYPICAL quiet wall for parts 1+3+3b is ~28 min
-  *   part 3c (symmetric dedup escalation, at most ONE of):
-  *     lo-B child, 1 rep (efficiency > 1.0 or lo calib-suspect,
-  *       > 700 s of budget remain)                                = ~560 s
-  *     hi-C child (full warm, minReps 2 / maxReps 3 / deadline 240,
-  *       efficiency < 0.85 or hi calib-suspect, > 400 s remain)   = ~610 s
-  *   part 3d (symmetric matcher escalation, same triggers on the
-  *     matcher levels, at most ONE of): lo 1 rep ~165 s / hi ~175 s
-  *     (> 400/150 s of budget; if a dedup lo escalation already ran,
-  *     the budget check skips this)
+  *   part 3c (symmetric dedup escalation, ONE side only):
+  *     lo-B(+lo-C) children, 1 rep each — up to TWO while the reading
+  *       stays > 1.0 or on lo calib-suspect, each gated on > 700 s of
+  *       budget remaining                                    = ~560 s x2
+  *     else hi-C child (full warm, minReps 2 / maxReps 3 / deadline
+  *       240, efficiency < 0.85 or hi calib-suspect, > 400 s) = ~610 s
+  *   part 3d (symmetric matcher escalation, same triggers and the same
+  *     lo-side x2 bound on the matcher levels): lo 1 rep ~165 s (x2) /
+  *     hi ~175 s (> 400/150 s of budget; if a dedup lo escalation
+  *     already ran, the budget check skips this)
   *   part 4 peak child: ~80 s + 1-2 x ~120 s + metrics ~90 s      = ~410 s
   *     (2 reps when > 500 s of soft budget remain — clock-decided,
   *     never metric-conditioned; skipped entirely below 300 s)
@@ -578,13 +585,18 @@ object Bench {
     //     lo_reps/hi_reps. Lo outranks hi: an inflated lo FABRICATES
     //     efficiency, which is the direction that must never ship
     //     uncorrected. ---
-    if ((efficiency > 1.0 || loSuspect) && budgetSec - elapsedSec > 700) {
+    var dedupLoEsc = 0
+    while (dedupLoEsc < 2 &&
+        (efficiency > 1.0 || (dedupLoEsc == 0 && loSuspect)) &&
+        budgetSec - elapsedSec > 700) {
       loChildren += dedupChild(loCpus, dedupClusters, maxReps = 1)
+      dedupLoEsc += 1
       hiSec = tHi
       renderDedup(None)
       partsDone += "dedup_escalate_lo"
       emit(finalLine = false)
-    } else if ((efficiency < 0.85 || hiSuspect) &&
+    }
+    if (dedupLoEsc == 0 && (efficiency < 0.85 || hiSuspect) &&
         budgetSec - elapsedSec > 400) {
       hiChildren += dedupChild(hiCpus, dedupClusters, maxReps = 3,
         minReps = 2, deadlineSec = 240, fullWarm = true)
@@ -598,12 +610,17 @@ object Bench {
     //     guard as 3c, running at a later wall-clock point than part 3's
     //     children; the round-5 validation run read matcher 1.064 from
     //     an inflated lo level and nothing corrected it) ---
-    if ((mEfficiency > 1.0 || mLoSuspect) && budgetSec - elapsedSec > 400) {
+    var matcherLoEsc = 0
+    while (matcherLoEsc < 2 &&
+        (mEfficiency > 1.0 || (matcherLoEsc == 0 && mLoSuspect)) &&
+        budgetSec - elapsedSec > 400) {
       mLoChildren += matcherChild(loCpus, maxReps = 1)
+      matcherLoEsc += 1
       renderMatcher()
       partsDone += "matcher_escalate_lo"
       emit(finalLine = false)
-    } else if ((mEfficiency < 0.85 || mHiSuspect) &&
+    }
+    if (matcherLoEsc == 0 && (mEfficiency < 0.85 || mHiSuspect) &&
         budgetSec - elapsedSec > 150) {
       mHiChildren += matcherChild(hiCpus)
       renderMatcher()
