@@ -61,7 +61,7 @@ object Queries {
     * vec_id with the re-keyed value, engine-dependently).
     */
   private[graft] def embTwinCorpus(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.embeddings(s, d)
+    val src = fanout(Tables.embeddings(s, d))
     val orig = src.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("emb"))
     val twin = src.select(col("vec_id"),
@@ -120,12 +120,16 @@ object Queries {
   private def cleanK(len: Int): Column =
     substring(T.cleanText(col("text")), 1, len)
 
-  /** Fan out the STREAMED side of a broadcast self-join: the sf tables
-    * are single parquet splits, so without this the whole pair expansion
-    * (5k rows -> ~1M pairs) runs in one task until the first exchange —
-    * measured as the entire cost of the self-join queries. At production
-    * scale the scan has many splits and this is a no-op in spirit; here
-    * it is the difference between 1 and all cores doing the verify.
+  /** Fan out the STREAMED side of a broadcast self-join — and, more
+    * generally, any scan whose stage carries real per-row kernel work
+    * (UDFs, interpreted higher-order functions, partial aggregation):
+    * the sf tables are single parquet splits, so without this the whole
+    * stage (5k rows -> ~1M pairs on the self-joins; 744 md5 calls/row on
+    * the minhash queries) runs in ONE task until the first exchange —
+    * measured as the entire cost of those queries at local[32]. At
+    * production scale the scan has many splits and this is a no-op in
+    * spirit; here it is the difference between 1 and all cores doing
+    * the work. Parameterised on defaultParallelism, never a constant.
     */
   private def fanout(df: org.apache.spark.sql.DataFrame) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -141,7 +145,7 @@ object Queries {
     // --- P1: greedy alphabet normalization (reference anahash.rs:50-80) ---
     "p01_normalize" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(col("doc_id"),
             K.normStr(substring(col("text"), 1, 40)).as("norm")),
       Some(
@@ -154,7 +158,7 @@ object Queries {
     // --- P2: anagram value (prime product, reference anahash.rs:16-47) ---
     "p02_anahash" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(col("doc_id"),
             K.anahashStr(substring(col("text"), 1, 12)).as("anavalue")),
       Some(
@@ -218,7 +222,7 @@ object Queries {
     //     anagram index; sorted-characters key == anagram value) ---
     "j2_anagram_groups" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(col("doc_id"),
             array_join(array_sort(
               filter(split(cleanK(24), ""), c => length(c) > 0)), "")
@@ -252,7 +256,7 @@ object Queries {
     //     portable form the oracle states; see TextFns.minhashPortableJvm)
     "dedup_minhash_sig" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(col("doc_id"),
             concat_ws("_", transform(
               T.minhashPortableJvm(substring(T.cleanText(col("text")), 1, 64), 3, 12),
@@ -274,7 +278,7 @@ object Queries {
       (s, d) => {
         // signature materialized ONCE (round 1 inlined the minhash
         // expression tree into all 4 band columns — 4x the md5 work)
-        val sigged = Tables.documents(s, d)
+        val sigged = fanout(Tables.documents(s, d))
           .select(col("doc_id"),
             T.minhashPortableJvm(substring(T.cleanText(col("text")), 1, 64), 3, 12)
               .as("sig"))
@@ -335,7 +339,7 @@ object Queries {
     //     bit-identical to the HOF form the oracle states. ---
     "dedup_simhash" -> Q(
       (s, d) => {
-        val sim = Tables.documents(s, d)
+        val sim = fanout(Tables.documents(s, d))
           .select(col("doc_id"),
             T.simhashPortableJvm(
               substring(T.cleanText(col("text")), 1, 64), 3, 32).as("simhash"))
@@ -411,11 +415,14 @@ object Queries {
           .select(col("doc_id").as("a_id"),
             substring(col("k"), 1, 24).as("p"),
             substring(col("k"), 1, 12).as("g"))
+        // per-row array_distinct replaces the former
+        // dropDuplicates("b_id","g"): grams are functionally dependent on
+        // b_id (one text per host), so in-row dedup yields the identical
+        // (b_id, g) set without a full shuffle of the exploded gram rows
         val hosts = fanout(t).select(col("doc_id").as("b_id"), col("k"),
-            explode(transform(
+            explode(array_distinct(transform(
               sequence(lit(1), greatest(length(col("k")) - 11, lit(1))),
-              i => col("k").substr(i, lit(12)))).as("g"))
-          .dropDuplicates("b_id", "g")
+              i => col("k").substr(i, lit(12))))).as("g"))
         probes.join(hosts, Seq("g"))
           .filter(col("a_id") =!= col("b_id") && instr(col("k"), col("p")) >= 1)
           .select(col("a_id"), col("b_id"))
@@ -535,7 +542,7 @@ object Queries {
             lit(0L), (acc, v) => acc + v)
           when(dot > 0, lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _)
-        val e = Tables.embeddings(s, d)
+        val e = fanout(Tables.embeddings(s, d))
           .select(col("vec_id"), qexpr.as("q"),
             transform(col("embedding"), _.cast("double")).as("emb"))
           .withColumn("bucket", sig)
@@ -572,7 +579,7 @@ object Queries {
     // --- Text analysis: token counting (whitespace + subword pieces) ---
     "text_tokens" -> Q(
       (s, d) =>
-        Tables.documents(s, d).select(col("doc_id"),
+        fanout(Tables.documents(s, d)).select(col("doc_id"),
           T.tokenCount(col("text")).as("n_tokens"),
           T.subwordCount(col("text")).as("n_subwords")),
       Some(
@@ -585,7 +592,7 @@ object Queries {
     // --- Text analysis: quality scoring ---
     "text_quality" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(col("doc_id"), T.qualityScore(col("text")).as("quality")),
       Some {
         val toks = "string_split_regex(trim(text),' +')"
@@ -605,7 +612,7 @@ object Queries {
     // --- Text analysis: language-ID heuristic (stopword-hit ratio) ---
     "text_langid" -> Q(
       (s, d) =>
-        Tables.documents(s, d).select(col("doc_id"),
+        fanout(Tables.documents(s, d)).select(col("doc_id"),
           round(T.stopwordRatio(col("text")), 6).as("stop_ratio"),
           when(T.stopwordRatio(col("text")) >= 0.08, "en").otherwise("other")
             .as("pred_lang")),
@@ -623,7 +630,7 @@ object Queries {
     // --- Text analysis: rolling-hash document fingerprint ---
     "text_fingerprint" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(col("doc_id"), T.fingerprint(col("text")).as("fp")),
       Some(
         s"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, " +
@@ -635,7 +642,7 @@ object Queries {
     // --- Embeddings: brute-force cosine top-k (the ANN baseline) ---
     "emb_cosine_topk" -> Q(
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = fanout(Tables.embeddings(s, d))
           .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -805,7 +812,7 @@ object Queries {
     //     bitmask OR (reference lib.rs:900-967: freq sum, lexindex |=) ---
     "a5_vocab_merge" -> Q(
       (s, d) =>
-        Tables.documents(s, d)
+        fanout(Tables.documents(s, d))
           .select(explode(split(trim(col("text")), " +")).as("w"),
             regexp_replace(col("source"), "src", "").cast("int").as("srcnum"))
           .filter(length(col("w")) > 0)
@@ -826,16 +833,25 @@ object Queries {
     //     (reference search.rs:190-313: boundaries -> ngram spans) ---
     "p15_ngram_spans" -> Q(
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        // all three orders in ONE scan + ONE explode (the former 3-way
+        // union re-scanned documents and re-split the text per order):
+        // per row, concat the per-order (order, gram) struct arrays and
+        // explode once; docs shorter than n contribute an empty array for
+        // that order — the same rows, one pass
+        val toks = fanout(Tables.documents(s, d))
           .select(col("doc_id"), split(trim(col("text")), " +").as("ts"))
-        val grams = (1 to 3).map { n =>
-          toks.filter(size(col("ts")) >= n) // docs shorter than n yield none
-            .select(col("doc_id"), lit(n).as("order"),
-              explode(transform(
-                sequence(lit(1), size(col("ts")) - (n - 1)),
-                i => concat_ws(" ", slice(col("ts"), i, lit(n))))).as("gram"))
-        }.reduce(_ union _)
-        grams.groupBy("order", "gram").agg(count(lit(1)).as("freq"))
+        val emptyGrams = array().cast("array<struct<order:int,gram:string>>")
+        def gramsOf(n: Int): Column =
+          when(size(col("ts")) >= n,
+            transform(
+              sequence(lit(1), size(col("ts")) - (n - 1)),
+              i => struct(lit(n).as("order"),
+                concat_ws(" ", slice(col("ts"), i, lit(n))).as("gram"))))
+            .otherwise(emptyGrams)
+        toks
+          .select(explode(concat((1 to 3).map(gramsOf): _*)).as("g"))
+          .select(col("g.order").as("order"), col("g.gram").as("gram"))
+          .groupBy("order", "gram").agg(count(lit(1)).as("freq"))
       },
       Some {
         val parts = (1 to 3).map(n =>
@@ -853,7 +869,7 @@ object Queries {
     "q3_join_topk" -> Q(
       (s, d) => {
         val o = Tables.orders(s, d)
-        val l = Tables.lineitem(s, d)
+        val l = fanout(Tables.lineitem(s, d))
         l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"))
           .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -902,7 +918,7 @@ object Queries {
     // --- Relational baseline: grouped aggregation (decimal-exact sums) ---
     "q1_agg" -> Q(
       (s, d) =>
-        Tables.lineitem(s, d)
+        fanout(Tables.lineitem(s, d))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
@@ -1027,7 +1043,7 @@ object Queries {
     //     keep assignment shuffle-free up to ~10^5 cells. ---
     "emb_ann_ivf" -> Q(
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = fanout(Tables.embeddings(s, d))
           .select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("emb"))
         val cents = e.filter(col("vec_id") % 50 === 0)
@@ -1092,7 +1108,7 @@ object Queries {
     //     kForScale) keeps its recall >=0.9 pin in AnnIvfSpec. ---
     "emb_ann_ivf_trained" -> Q(
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = fanout(Tables.embeddings(s, d))
           .select(col("vec_id").as("id"),
             transform(col("embedding"),
               x => round(x.cast("double") * 1000).cast("long")).as("q"))

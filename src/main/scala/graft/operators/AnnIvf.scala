@@ -159,24 +159,33 @@ object AnnIvf {
   ): DataFrame = {
     var cents = init.persist()
     cents.count()
+    val dims = cents.select(size(col("c_emb"))).head().getInt(0)
+    // double views hoisted OUT of the crossJoin: computed once per vector
+    // row / once per broadcast centroid, not once per (vector, centroid)
+    // — transform() is an interpreted higher-order expression, and inside
+    // the post-join select it ran k times per vector
+    val vd = vectors.withColumn("qd", transform(col("q"), _.cast("double")))
     for (_ <- 1 to iterations) {
-      val cellCos = vectors.crossJoin(broadcast(cents))
+      val cd = broadcast(cents.select(col("c_id"),
+        transform(col("c_emb"), _.cast("double")).as("cd")))
+      val cellCos = vd.crossJoin(cd)
         .select(col("id"), col("q"), col("c_id"),
-          round(cos(spark)(
-            transform(col("q"), _.cast("double")),
-            transform(col("c_emb"), _.cast("double"))), 6).as("ccos"))
+          round(cos(spark)(col("qd"), col("cd")), 6).as("ccos"))
       val asgn = cellCos.groupBy(col("id"))
         .agg(
           max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
           first(col("q")).as("q"))
-      val means = asgn
-        .select(col("c_id"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(round(avg(col("v"))).cast("long").as("v"))
-        .groupBy(col("c_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("v")))),
-          e => e.getField("v")).as("c_emb"))
+      // per-cell per-dim mean in ONE keyed aggregation: `dims` exact long
+      // sums + a count per cell, then round(sum/n) re-quantizes to the
+      // grid. Bit-identical to the former posexplode + avg two-shuffle
+      // shape: avg over longs accumulates integer-valued doubles < 2^53
+      // (exact in any order), so round(avg) == round(exactSum/n).
+      val means = asgn.groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(i => sum(col("q").getItem(i))): _*).as("s"))
+        .select(col("c_id"),
+          transform(col("s"),
+            s => round(s.cast("double") / col("n")).cast("long")).as("c_emb"))
       val next = cents.select(col("c_id"), col("c_emb").as("prev_emb"))
         .join(means, Seq("c_id"), "left")
         .select(col("c_id"),

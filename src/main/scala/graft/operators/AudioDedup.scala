@@ -264,7 +264,8 @@ object AudioDedup {
     val (vCut, m) = nearDupPairsCut(spark, df, idCol, bytesCol, cfg,
       collectMetrics)
     val edges = vCut.df.select(col("a").as("src"), col("b").as("dst"))
-    val cc = ConnectedComponents.runCut(spark, edges, withAllNodes = false)
+    val cc = ConnectedComponents.runCut(spark, edges, withAllNodes = false,
+      edgesMaterialized = true) // vCut is an eager checkpoint
     val assignments = graft.spark.Checkpoints.cut(
       df.select(col(idCol).as("id"))
         .join(cc.df.withColumnRenamed("node", "id"), Seq("id"), "left")

@@ -131,7 +131,8 @@ object ClipDedup {
     // ---- stage 5: clusters ----
     var ccCut: graft.spark.Checkpoints.Cut = null
     val clusters = r.stage("clusters", Seq("clip_id", "cluster_id")) {
-      ccCut = ConnectedComponents.runCut(spark, edges, withAllNodes = false)
+      ccCut = ConnectedComponents.runCut(spark, edges, withAllNodes = false,
+        edgesMaterialized = true) // edges = stage parquet, already on disk
       norms.select(col("clip_id"), col("id"))
         .join(ccCut.df.withColumnRenamed("node", "id"), Seq("id"), "left")
         .select(col("clip_id"),

@@ -176,6 +176,15 @@ object ConnectedComponents {
     *        extra edges-union-distinct + join that materializing isolated
     *        nodes would cost — at iterative-loop scale that is two whole
     *        shuffle stages of the input edge volume.
+    * @param edgesMaterialized set true when `edges` is already
+    *        checkpointed/persisted (DedupPipeline's cut edge table,
+    *        ClipDedup's stage parquet). When false (default), the input
+    *        is lineage-cut ONCE here before the strategy election:
+    *        the election's edge count is a full action, and without the
+    *        cut both it and the elected strategy re-ran the caller's
+    *        entire edge-producing DAG (candidate generation + verify) —
+    *        measured as ~2x the whole query cost for the oracle CC
+    *        queries, which hand raw un-materialized edge plans in.
     */
   def runCut(
       spark: SparkSession,
@@ -185,7 +194,29 @@ object ConnectedComponents {
       maxIterations: Int = 50,
       withAllNodes: Boolean = true,
       localKernelMaxEdges: Long = defaultLocalKernelMaxEdges,
-      resumeKey: Option[String] = None
+      resumeKey: Option[String] = None,
+      edgesMaterialized: Boolean = false
+  ): Checkpoints.Cut = {
+    val inputCut: Option[Checkpoints.Cut] =
+      if (edgesMaterialized) None else Some(Checkpoints.cut(edges))
+    try runCutOnEdges(spark, inputCut.map(_.df).getOrElse(edges),
+      srcCol, dstCol, maxIterations, withAllNodes, localKernelMaxEdges,
+      resumeKey)
+    finally inputCut.foreach(_.release())
+  }
+
+  /** [[runCut]] body over edges whose plan is already materialized (every
+    * full pass over them is a cheap block read, never a DAG re-run).
+    */
+  private def runCutOnEdges(
+      spark: SparkSession,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int,
+      withAllNodes: Boolean,
+      localKernelMaxEdges: Long,
+      resumeKey: Option[String]
   ): Checkpoints.Cut = {
 
     def orient(df: DataFrame): DataFrame =

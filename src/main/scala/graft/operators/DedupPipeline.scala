@@ -210,7 +210,7 @@ object DedupPipeline {
     // universe, so CC skips materializing isolated nodes (roots absent
     // from the assignment resolve to themselves via the coalesce)
     val cc = ConnectedComponents.runCut(spark, allEdges,
-      withAllNodes = false)
+      withAllNodes = false, edgesMaterialized = true)
     mark("cc")
     // materialize the result, then free EVERY intermediate checkpoint:
     // iterative pipelines that leak block-manager storage degrade the

@@ -231,7 +231,11 @@ object EmbDedup {
     val (pairs, m) =
       nearDupPairs(spark, df, idCol, embCol, cfg, collectMetrics)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-    val cc = ConnectedComponents.runCut(spark, edges, withAllNodes = false)
+    // metrics path: `pairs` is persisted + counted above (materialized);
+    // the metric-free path hands a raw plan — let CC cut it once instead
+    // of re-running the signature+verify DAG for the election count
+    val cc = ConnectedComponents.runCut(spark, edges, withAllNodes = false,
+      edgesMaterialized = collectMetrics)
     val assignments = graft.spark.Checkpoints.cut(
       df.select(col(idCol).as("id"))
         .join(cc.df.withColumnRenamed("node", "id"), Seq("id"), "left")
