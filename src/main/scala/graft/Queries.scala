@@ -418,12 +418,17 @@ object Queries {
         // per-row array_distinct replaces the former
         // dropDuplicates("b_id","g"): grams are functionally dependent on
         // b_id (one text per host), so in-row dedup yields the identical
-        // (b_id, g) set without a full shuffle of the exploded gram rows
+        // (b_id, g) set without a full shuffle of the exploded gram rows.
+        // probes are broadcast EXPLICITLY (guide §3.1): the planner's
+        // size estimate for the exploded gram side is the tiny
+        // pre-Generate scan size, and left to stats it broadcast the
+        // ~1M-row gram side (measured 6x slower than broadcasting the
+        // genuinely small <=1-row-per-doc probe side)
         val hosts = fanout(t).select(col("doc_id").as("b_id"), col("k"),
             explode(array_distinct(transform(
               sequence(lit(1), greatest(length(col("k")) - 11, lit(1))),
               i => col("k").substr(i, lit(12))))).as("g"))
-        probes.join(hosts, Seq("g"))
+        broadcast(probes).join(hosts, Seq("g"))
           .filter(col("a_id") =!= col("b_id") && instr(col("k"), col("p")) >= 1)
           .select(col("a_id"), col("b_id"))
           .distinct()
@@ -1051,15 +1056,19 @@ object Queries {
         val cellCos = e.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("emb"), col("c_id"),
             round(T.cosineIn(s)(col("emb"), col("c_emb")), 6).as("ccos"))
-        // nearest cell per vector: highest cos, ties -> lowest c_id
-        val asgn = cellCos.groupBy(col("vec_id"))
-          .agg(
-            max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
-            first(col("emb")).as("emb"))
+        // ONE ranked pass serves both consumers: rn=1 is exactly the
+        // former max_by(struct(ccos, -c_id)) nearest-cell assignment, and
+        // rn<=2 the probe cells — sharing the window's exchange means the
+        // crossJoin+cosine subtree is computed once, not once per branch
+        // (row_number is per-vec_id, so filtering probes AFTER the window
+        // changes nothing)
         val wq = Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("c_id"))
-        val probes = cellCos.filter(col("vec_id") % 100 === 0)
-          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+        val ranked = cellCos.withColumn("rn", row_number().over(wq))
+        val asgn = ranked.filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id"), col("emb"))
+        val probes = ranked
+          .filter(col("vec_id") % 100 === 0 && col("rn") <= 2)
           .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("c_id"))
         val scored = probes.join(asgn, Seq("c_id"))
           .filter(col("vec_id") =!= col("q_id"))
@@ -1123,14 +1132,16 @@ object Queries {
         val cellCos = eD.crossJoin(broadcast(cD))
           .select(col("id"), col("emb"), col("c_id"),
             round(T.cosineIn(s)(col("emb"), col("c_emb")), 6).as("ccos"))
-        val asgn = cellCos.groupBy(col("id"))
-          .agg(
-            max_by(col("c_id"), struct(col("ccos"), col("c_id") * -1)).as("c_id"),
-            first(col("emb")).as("emb"))
+        // shared ranked pass (see emb_ann_ivf): rn=1 == the former
+        // max_by(struct(ccos, -c_id)) assignment; one exchange, one
+        // crossJoin+cosine evaluation for both branches
         val wq = Window.partitionBy(col("id"))
           .orderBy(col("ccos").desc, col("c_id"))
-        val probes = cellCos.filter(col("id") % 100 === 0)
-          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 2)
+        val ranked = cellCos.withColumn("rn", row_number().over(wq))
+        val asgn = ranked.filter(col("rn") === 1)
+          .select(col("id"), col("c_id"), col("emb"))
+        val probes = ranked
+          .filter(col("id") % 100 === 0 && col("rn") <= 2)
           .select(col("id").as("q_id"), col("emb").as("q_emb"), col("c_id"))
         val scored = probes.join(asgn, Seq("c_id"))
           .filter(col("id") =!= col("q_id"))
