@@ -970,8 +970,12 @@ object Queries {
               levenshtein(col("a.k"), col("b.k")) <= 4)
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         val cc = graft.operators.ConnectedComponents.run(s, e)
+        // SHUFFLE_HASH: the assignment side has no stats after the
+        // union-find checkpoint and planned as a SortMergeJoin — a
+        // sort-free hash join needs no ordering on either side
         t.select(col("doc_id"))
-          .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .join(cc.withColumnRenamed("node", "doc_id").hint("SHUFFLE_HASH"),
+            Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("cluster_id"))
       },
@@ -1007,8 +1011,9 @@ object Queries {
           .filter(levenshtein(col("ka"), col("kb")) <= 6)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         val cc = graft.operators.ConnectedComponents.run(s, edges)
-        t.select(col("doc_id"))
-          .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        t.select(col("doc_id")) // SHUFFLE_HASH: see dedup_cc_clusters
+          .join(cc.withColumnRenamed("node", "doc_id").hint("SHUFFLE_HASH"),
+            Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component"), col("doc_id")).as("cluster_id"))
       },
@@ -1070,7 +1075,7 @@ object Queries {
         val probes = ranked
           .filter(col("vec_id") % 100 === 0 && col("rn") <= 2)
           .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("c_id"))
-        val scored = probes.join(asgn, Seq("c_id"))
+        val scored = probes.hint("SHUFFLE_HASH").join(asgn, Seq("c_id"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
             round(T.cosineIn(s)(col("q_emb"), col("emb")), 6).as("cos"))
@@ -1143,7 +1148,7 @@ object Queries {
         val probes = ranked
           .filter(col("id") % 100 === 0 && col("rn") <= 2)
           .select(col("id").as("q_id"), col("emb").as("q_emb"), col("c_id"))
-        val scored = probes.join(asgn, Seq("c_id"))
+        val scored = probes.hint("SHUFFLE_HASH").join(asgn, Seq("c_id"))
           .filter(col("id") =!= col("q_id"))
           .select(col("q_id"), col("id").as("n_id"),
             round(T.cosineIn(s)(col("q_emb"), col("emb")), 6).as("cos"))

@@ -133,8 +133,9 @@ object ClipDedup {
     val clusters = r.stage("clusters", Seq("clip_id", "cluster_id")) {
       ccCut = ConnectedComponents.runCut(spark, edges, withAllNodes = false,
         edgesMaterialized = true) // edges = stage parquet, already on disk
-      norms.select(col("clip_id"), col("id"))
-        .join(ccCut.df.withColumnRenamed("node", "id"), Seq("id"), "left")
+      norms.select(col("clip_id"), col("id")) // SHUFFLE_HASH: sort-free
+        .join(ccCut.df.withColumnRenamed("node", "id").hint("SHUFFLE_HASH"),
+          Seq("id"), "left")
         .select(col("clip_id"),
           coalesce(col("component"), col("id")).as("cluster_id"))
     }

@@ -216,8 +216,12 @@ object DedupPipeline {
     // iterative pipelines that leak block-manager storage degrade the
     // session they run in (unpersist() alone never frees localCheckpoint
     // blocks — see Checkpoints)
+    // SHUFFLE_HASH: both sides are stat-less checkpoints and planned
+    // as a SortMergeJoin — at 3M rows that is two full sorts for a join
+    // a hash build does sort-free
     val assignments = graft.spark.Checkpoints.cut(rows.select(col("id"))
-      .join(cc.df.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .join(cc.df.withColumnRenamed("node", "id").hint("SHUFFLE_HASH"),
+        Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("cluster"))).df
     rowsCut.release()

@@ -237,8 +237,9 @@ object EmbDedup {
     val cc = ConnectedComponents.runCut(spark, edges, withAllNodes = false,
       edgesMaterialized = collectMetrics)
     val assignments = graft.spark.Checkpoints.cut(
-      df.select(col(idCol).as("id"))
-        .join(cc.df.withColumnRenamed("node", "id"), Seq("id"), "left")
+      df.select(col(idCol).as("id")) // SHUFFLE_HASH: sort-free (see DedupPipeline)
+        .join(cc.df.withColumnRenamed("node", "id").hint("SHUFFLE_HASH"),
+          Seq("id"), "left")
         .select(col("id"),
           coalesce(col("component"), col("id")).as("cluster"))).df
     cc.release()
