@@ -199,14 +199,23 @@ object ConnectedComponents {
   ): Checkpoints.Cut = {
     val inputCut: Option[Checkpoints.Cut] =
       if (edgesMaterialized) None else Some(Checkpoints.cut(edges))
-    try runCutOnEdges(spark, inputCut.map(_.df).getOrElse(edges),
-      srcCol, dstCol, maxIterations, withAllNodes, localKernelMaxEdges,
-      resumeKey)
-    finally inputCut.foreach(_.release())
+    var transferred = false
+    try {
+      val (result, ownsInput) = runCutOnEdges(spark,
+        inputCut.map(_.df).getOrElse(edges), srcCol, dstCol, maxIterations,
+        withAllNodes, localKernelMaxEdges, resumeKey, inputCut)
+      transferred = ownsInput
+      result
+    } finally if (!transferred) inputCut.foreach(_.release())
   }
 
   /** [[runCut]] body over edges whose plan is already materialized (every
     * full pass over them is a cheap block read, never a DAG re-run).
+    * Returns (result, ownsInput): ownsInput=true means the result is a
+    * LAZY plan over `inputOwner`'s blocks and has taken over their
+    * release — the single-task union-find is cheap enough that running
+    * it inside the consumer's one action beats materializing it in an
+    * extra eager job, and Cut.release() then frees the edge blocks.
     */
   private def runCutOnEdges(
       spark: SparkSession,
@@ -216,8 +225,9 @@ object ConnectedComponents {
       maxIterations: Int,
       withAllNodes: Boolean,
       localKernelMaxEdges: Long,
-      resumeKey: Option[String]
-  ): Checkpoints.Cut = {
+      resumeKey: Option[String],
+      inputOwner: Option[Checkpoints.Cut]
+  ): (Checkpoints.Cut, Boolean) = {
 
     def orient(df: DataFrame): DataFrame =
       df.select(
@@ -329,8 +339,14 @@ object ConnectedComponents {
           .toDF("node", "component")
       }
       // covers every edge-touched node incl. roots (root -> itself), which
-      // satisfies both withAllNodes contracts
-      return Checkpoints.cut(pairs)
+      // satisfies both withAllNodes contracts. When this call owns the
+      // input cut, the kernel result stays LAZY (it runs inside the
+      // consumer's action over the materialized edge blocks) and the
+      // returned Cut adopts the input blocks' release.
+      return inputOwner match {
+        case Some(owner) => (Checkpoints.Cut(pairs, owner.rddIds), true)
+        case None        => (Checkpoints.cut(pairs), false)
+      }
     }
 
     // Mid-loop resume (reliable mode + resumeKey): each round's edge set
@@ -407,7 +423,7 @@ object ConnectedComponents {
       } else assign
     val out = Checkpoints.cut(result)
     e.release()
-    out
+    (out, false)
   }
 
   /** @param edges two long columns (src, dst); self-loops/duplicates ok.
