@@ -50,8 +50,10 @@ object BenchExtra {
 
     // identical warmup to Bench part 5: compile the shared codegen/JIT
     // paths untimed so the timed mins measure plans, not first touch
-    for (w <- Seq("p01_normalize", "q1_agg", "text_fingerprint",
-        "p05_levenshtein_pairs", "dedup_jaccard", "variant_matcher");
+    // (skippable for cold-vs-warm attribution experiments)
+    for (w <- (if (sys.env.contains("SPARK_GRAFT_EXTRA_NOWARM")) Seq()
+        else Seq("p01_normalize", "q1_agg", "text_fingerprint",
+          "p05_levenshtein_pairs", "dedup_jaccard", "variant_matcher"));
         fn <- SparkEntry.queries.get(w))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -158,13 +158,19 @@ object AnnIvf {
       iterations: Int = 3
   ): DataFrame = {
     var cents = init.persist()
-    cents.count()
     val dims = cents.select(size(col("c_emb"))).head().getInt(0)
     // double views hoisted OUT of the crossJoin: computed once per vector
     // row / once per broadcast centroid, not once per (vector, centroid)
     // — transform() is an interpreted higher-order expression, and inside
     // the post-join select it ran k times per vector
     val vd = vectors.withColumn("qd", transform(col("q"), _.cast("double")))
+    // intermediates stay persisted-but-lazy until ONE action at the end
+    // cascades through every iteration (each level's broadcast build
+    // populates its cache); per-iteration count() actions were pure
+    // driver job latency. Unpersist only after the final materialization
+    // — dropping a level before its successor is materialized would
+    // cascade recomputes instead.
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iterations) {
       val cd = broadcast(cents.select(col("c_id"),
         transform(col("c_emb"), _.cast("double")).as("cd")))
@@ -186,15 +192,19 @@ object AnnIvf {
         .select(col("c_id"),
           transform(col("s"),
             s => round(s.cast("double") / col("n")).cast("long")).as("c_emb"))
+      // broadcast the k-row means side: stat-less after the aggregation,
+      // it otherwise planned as a SortMergeJoin (k <= 10^5 by design —
+      // the centroid set is broadcastable, see the class doc)
       val next = cents.select(col("c_id"), col("c_emb").as("prev_emb"))
-        .join(means, Seq("c_id"), "left")
+        .join(broadcast(means), Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("c_emb"), col("prev_emb")).as("c_emb"))
         .persist()
-      next.count()
-      cents.unpersist()
+      retired += cents
       cents = next
     }
+    cents.count()
+    retired.foreach(_.unpersist())
     cents
   }
 

@@ -54,8 +54,13 @@ object StreamingDedup {
   def bandKeyed(clips: DataFrame, idCol: String, textCol: String,
       cfg: DedupConfig, alphabet: Alphabet): DataFrame = {
     val K = new Kernels(alphabet)
-    clips
-      .withColumn("norm", K.normKey(col(textCol)))
+    // reuse a precomputed `norm` column when the caller already paid for
+    // it ([[run]] needs norm for the exact-dedup hash too — without the
+    // reuse the normalization UDF ran twice per row)
+    val normed =
+      if (clips.columns.contains("norm")) clips
+      else clips.withColumn("norm", K.normKey(col(textCol)))
+    normed
       .withColumn("lc", K.caseClass(col(textCol)).cast("byte"))
       .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
         cfg.minhashK, cfg.bands, cfg.rowsPerBand))
@@ -149,7 +154,8 @@ object StreamingDedup {
     val K = new Kernels(alphabet)
     val deduped = clips
       .withWatermark(tsCol, watermark)
-      .withColumn("nh", xxhash64(K.normKey(col(textCol))))
+      .withColumn("norm", K.normKey(col(textCol))) // once; bandKeyed reuses
+      .withColumn("nh", xxhash64(col("norm")))
       .dropDuplicates("nh") // built-in streaming exact-dedup state
     val keyed = bandKeyed(deduped, idCol, textCol, cfg, alphabet)
       .as[(Long, Long, String, Byte)]
