@@ -61,7 +61,7 @@ object Queries {
     * vec_id with the re-keyed value, engine-dependently).
     */
   private[graft] def embTwinCorpus(s: SparkSession, d: String): DataFrame = {
-    val src = fanout(Tables.embeddings(s, d))
+    val src = Tables.embeddings(s, d)
     val orig = src.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("emb"))
     val twin = src.select(col("vec_id"),
@@ -145,7 +145,7 @@ object Queries {
     // --- P1: greedy alphabet normalization (reference anahash.rs:50-80) ---
     "p01_normalize" -> Q(
       (s, d) =>
-        fanout(Tables.documents(s, d))
+        Tables.documents(s, d)
           .select(col("doc_id"),
             K.normStr(substring(col("text"), 1, 40)).as("norm")),
       Some(
@@ -158,7 +158,7 @@ object Queries {
     // --- P2: anagram value (prime product, reference anahash.rs:16-47) ---
     "p02_anahash" -> Q(
       (s, d) =>
-        fanout(Tables.documents(s, d))
+        Tables.documents(s, d)
           .select(col("doc_id"),
             K.anahashStr(substring(col("text"), 1, 12)).as("anavalue")),
       Some(
@@ -222,7 +222,7 @@ object Queries {
     //     anagram index; sorted-characters key == anagram value) ---
     "j2_anagram_groups" -> Q(
       (s, d) =>
-        fanout(Tables.documents(s, d))
+        Tables.documents(s, d)
           .select(col("doc_id"),
             array_join(array_sort(
               filter(split(cleanK(24), ""), c => length(c) > 0)), "")
@@ -817,7 +817,7 @@ object Queries {
     //     bitmask OR (reference lib.rs:900-967: freq sum, lexindex |=) ---
     "a5_vocab_merge" -> Q(
       (s, d) =>
-        fanout(Tables.documents(s, d))
+        Tables.documents(s, d)
           .select(explode(split(trim(col("text")), " +")).as("w"),
             regexp_replace(col("source"), "src", "").cast("int").as("srcnum"))
           .filter(length(col("w")) > 0)
