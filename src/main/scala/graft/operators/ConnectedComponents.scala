@@ -176,6 +176,12 @@ object ConnectedComponents {
     *        extra edges-union-distinct + join that materializing isolated
     *        nodes would cost — at iterative-loop scale that is two whole
     *        shuffle stages of the input edge volume.
+    * @param localKernelMaxEdges single-task union-find election bound.
+    *        NOTE: for wide (128-bit binary) keys the effective bound is
+    *        `min(localKernelMaxEdges, defaultLocalKernelMaxEdgesWide)` —
+    *        the boxed-map kernel's break-even is lower, so an explicit
+    *        value above 2M cannot opt a wide-key graph into the local
+    *        kernel; it still takes the distributed loop.
     * @param edgesMaterialized set true when `edges` is already
     *        checkpointed/persisted (DedupPipeline's cut edge table,
     *        ClipDedup's stage parquet). When false (default), the input

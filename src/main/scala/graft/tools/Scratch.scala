@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{FastHash, Kernels}
@@ -10,11 +10,18 @@ import graft.sources.ClipGen
 
 /** Throwaway measurement probe for optimization experiments (not part of
   * any declared surface; numbers quoted in OPTIMIZATION_r06.md).
+  *
+  * Current experiment: candidate-key generation — 3-branch union (one
+  * scan of base per key family) vs a single fused explode over the
+  * concatenated key arrays (one scan total). Both passes over the keyed
+  * rows (hot-key count-agg, bucket-pairs) are timed per form, alternating
+  * A/B within one JVM so host-window noise hits both arms equally.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "1200000").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -27,49 +34,55 @@ object Scratch {
     val cfg = DedupConfig()
     val K = new Kernels(Alphabet.test)
     val clips = ClipGen.transcriptTable(spark, 42L, n)
-      .select(xxhash64(col("clip_id")).as("id"), col("transcript")).cache()
-    clips.count()
-    var t0 = System.nanoTime()
-    def mark(s: String): Unit = {
-      System.err.println(f"[scratch] $s ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      t0 = System.nanoTime()
+      .select(xxhash64(col("clip_id")).as("id"), col("transcript"))
+    val rows = graft.spark.Checkpoints.cut(
+      clips.select(col("id"), col("transcript").as("text"))
+        .withColumn("norm", K.normKey(col("text")))
+        .withColumn("nh", xxhash64(col("norm")))
+        .withColumn("lc", K.caseClass(col("text")))
+        .drop("text"))
+    val base = graft.spark.Checkpoints.cut(
+      DedupPipeline.sketchBase(rows.df, cfg, K))
+    System.err.println(s"[scratch] base rows=${base.df.count()}")
+
+    val chunkBits = 64 / cfg.simhashBands
+    def simKeys = array((0 until cfg.simhashBands).map { b =>
+      xxhash64(lit(b), shiftright(col("sim"), b * chunkBits)
+        .bitwiseAND(lit((1L << chunkBits) - 1)))
+    }: _*)
+    // A: current 3-branch union
+    def keyedUnion: DataFrame =
+      base.df.select(col("id"), col("len"), explode(col("bands")).as("k"))
+        .union(base.df.select(col("id"), col("len"), explode(simKeys).as("k")))
+        .union(base.df.select(col("id"), col("len"), col("anakey").as("k")))
+    // B: single fused explode
+    def keyedFused: DataFrame =
+      base.df.select(col("id"), col("len"),
+        explode(concat(col("bands"), simKeys, array(col("anakey")))).as("k"))
+
+    def pairsCount(keyed: DataFrame): Long = {
+      val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, cfg.bucketCap))
+        .select(col("k"))
+      keyed.join(broadcast(hot), Seq("k"))
+        .groupBy("k")
+        .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
+        .select(explode(col("ms")).as("a"), col("ms"))
+        .select(col("a"), explode(col("ms")).as("b"))
+        .filter(col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
+        .select(col("a.id").as("a"), col("b.id").as("b"))
+        .distinct().count()
     }
-    for (rep <- 1 to 2) {
-      val rows = graft.spark.Checkpoints.cut(
-        clips.select(col("id"), col("transcript").as("text"))
-          .withColumn("norm", K.normKey(col("text")))
-          .withColumn("nh", xxhash64(col("norm")))
-          .withColumn("lc", K.caseClass(col("text")))
-          .drop("text"))
-      mark(s"rep$rep rows-cut")
-      val base = graft.spark.Checkpoints.cut(
-        DedupPipeline.sketchBase(rows.df, cfg, K))
-      mark(s"rep$rep base-cut")
-      // A: current pipeline shape — window-min star edges
-      val winEdges = graft.spark.Checkpoints.cut(
-        DedupPipeline.exactStarEdges(rows.df))
-      mark(s"rep$rep exact-window-cut")
-      System.err.println(s"[scratch] exact edges=${winEdges.df.count()}")
-      mark(s"rep$rep exact-count")
-      // B: join-on-root alternative (base.id = min id per nh group)
-      val joinEdges = graft.spark.Checkpoints.cut(
-        rows.df.select(col("id"), col("nh"))
-          .join(base.df.select(xxhash64(col("norm")).as("nh"),
-            col("id").as("root")).hint("SHUFFLE_HASH"), Seq("nh"))
-          .filter(col("id") =!= col("root"))
-          .select(col("root").as("src"), col("id").as("dst")))
-      mark(s"rep$rep exact-join-cut")
-      System.err.println(s"[scratch] join edges=${joinEdges.df.count()}")
-      mark(s"rep$rep join-count")
-      // C: the finalize shape comparison — rows->root map join
-      val asgn = graft.spark.Checkpoints.cut(
-        rows.df.select(col("id"), col("nh"))
-          .join(base.df.select(xxhash64(col("norm")).as("nh"),
-            col("id").as("root")).hint("SHUFFLE_HASH"), Seq("nh"))
-          .select(col("id"), col("root")))
-      mark(s"rep$rep rows-root-join-cut")
-      Seq(rows, base, winEdges, joinEdges, asgn).foreach(_.release())
+
+    for (rep <- 1 to reps; (name, keyed) <- Seq(
+        "union" -> (() => keyedUnion), "fused" -> (() => keyedFused))) {
+      val t0 = System.nanoTime()
+      val c = pairsCount(keyed())
+      System.err.println(
+        f"[scratch] rep$rep $name%-6s ${(System.nanoTime() - t0) / 1e9}%6.2fs pairs=$c")
     }
+    rows.release(); base.release()
     spark.stop()
   }
 }
