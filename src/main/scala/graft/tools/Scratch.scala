@@ -75,14 +75,50 @@ object Scratch {
         .distinct().count()
     }
 
-    for (rep <- 1 to reps; (name, keyed) <- Seq(
-        "union" -> (() => keyedUnion), "fused" -> (() => keyedFused))) {
-      val t0 = System.nanoTime()
-      val c = pairsCount(keyed())
-      System.err.println(
-        f"[scratch] rep$rep $name%-6s ${(System.nanoTime() - t0) / 1e9}%6.2fs pairs=$c")
-    }
+    val exps = sys.env.getOrElse("SPARK_GRAFT_EXP", "12")
+    if (exps.contains('1'))
+      for (rep <- 1 to reps; (name, keyed) <- Seq(
+          "union" -> (() => keyedUnion), "fused" -> (() => keyedFused))) {
+        val t0 = System.nanoTime()
+        val c = pairsCount(keyed())
+        System.err.println(
+          f"[scratch] rep$rep $name%-6s ${(System.nanoTime() - t0) / 1e9}%6.2fs pairs=$c")
+      }
     rows.release(); base.release()
+
+    // ---- experiment 2: share one nh exchange between the exact-dup
+    // window and the sketch groupBy (guide §2.4) by hash-partitioning
+    // the row universe BEFORE the checkpoint (LogicalRDD preserves
+    // outputPartitioning). Timed per arm: rows cut + exact-edge count +
+    // sketch-base cut + count.
+    def rowsPlan = clips.select(col("id"), col("transcript").as("text"))
+      .withColumn("norm", K.normKey(col("text")))
+      .withColumn("nh", xxhash64(col("norm")))
+      .withColumn("lc", K.caseClass(col("text")))
+      .drop("text")
+    if (exps.contains('2'))
+    for (rep <- 1 to reps; (name, plan) <- Seq(
+        "plain " -> (() => rowsPlan),
+        "parted" -> (() => rowsPlan.repartition(cpus, col("nh"))))) {
+      val t0 = System.nanoTime()
+      val r = graft.spark.Checkpoints.cut(plan())
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        def exchanges(df: DataFrame): Int =
+          df.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange"))
+        System.err.println(s"[scratch] $name exchanges: " +
+          s"window=${exchanges(DedupPipeline.exactStarEdges(r.df))} " +
+          s"sketch=${exchanges(DedupPipeline.sketchBase(r.df, cfg, K))}")
+      }
+      val e = DedupPipeline.exactStarEdges(r.df).count()
+      val b = graft.spark.Checkpoints.cut(
+        DedupPipeline.sketchBase(r.df, cfg, K))
+      val nb = b.df.count()
+      System.err.println(
+        f"[scratch] rep$rep sketch-$name ${(System.nanoTime() - t0) / 1e9}%6.2fs " +
+          s"edges=$e base=$nb")
+      r.release(); b.release()
+    }
     spark.stop()
   }
 }
