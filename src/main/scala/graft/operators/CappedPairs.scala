@@ -34,6 +34,12 @@ object CappedPairs {
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
-      .distinct()
+      // dedup keyed by a ONLY: hashpartitioning(a) satisfies the (a, b)
+      // clustering AND the consumer's verify join on a (every caller
+      // fetches the a-side payload first), so the dedup exchange and
+      // that join's exchange collapse into one — see
+      // DedupPipeline.run's candidates for the measured trade.
+      .repartition(col("a"))
+      .dropDuplicates("a", "b")
   }
 }

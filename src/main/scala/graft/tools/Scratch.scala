@@ -84,8 +84,6 @@ object Scratch {
         System.err.println(
           f"[scratch] rep$rep $name%-6s ${(System.nanoTime() - t0) / 1e9}%6.2fs pairs=$c")
       }
-    rows.release(); base.release()
-
     // ---- experiment 2: share one nh exchange between the exact-dup
     // window and the sketch groupBy (guide §2.4) by hash-partitioning
     // the row universe BEFORE the checkpoint (LogicalRDD preserves
@@ -96,6 +94,52 @@ object Scratch {
       .withColumn("nh", xxhash64(col("norm")))
       .withColumn("lc", K.caseClass(col("text")))
       .drop("text")
+    // ---- experiment 3: candidate distinct keyed by a ONLY, so the
+    // dedup exchange and the verify join-on-a exchange collapse into
+    // one (hashpartitioning(a) satisfies both the (a,b) clustering and
+    // the join distribution). Trade probed: partial aggregation before
+    // the (a,b) exchange dedups only same-partition copies, and a
+    // pair's copies from different band keys live in different bucket
+    // partitions — so how much does the full raw stream cost by a?
+    if (exps.contains('3')) {
+      val raw = keyedFused // reuse the shipped key shape
+      def allPairs = {
+        val keyed = raw
+        val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, cfg.bucketCap))
+          .select(col("k"))
+        keyed.join(broadcast(hot), Seq("k"))
+          .groupBy("k")
+          .agg(sort_array(collect_list(struct(col("id"), col("len")))).as("ms"))
+          .select(explode(col("ms")).as("a"), col("ms"))
+          .select(col("a"), explode(col("ms")).as("b"))
+          .filter(col("a.id") < col("b.id") &&
+            abs(col("a.len") - col("b.len")) <= cfg.maxEditDistance)
+          .select(col("a.id").as("a"), col("b.id").as("b"))
+      }
+      System.err.println(s"[scratch] raw pair rows=${allPairs.count()}")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        def exchanges(df: DataFrame): Int =
+          df.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("Exchange"))
+        System.err.println("[scratch] verify exchanges: ab=" +
+          exchanges(DedupPipeline.verifyPairs(allPairs.distinct(), base.df, cfg, K)) +
+          " a=" + exchanges(DedupPipeline.verifyPairs(
+            allPairs.repartition(col("a")).dropDuplicates("a", "b"),
+            base.df, cfg, K)))
+      }
+      for (rep <- 1 to reps; (name, cand) <- Seq(
+          "distinct-ab" -> (() => allPairs.distinct()),
+          "distinct-a " -> (() =>
+            allPairs.repartition(col("a")).dropDuplicates("a", "b")))) {
+        val t0 = System.nanoTime()
+        val v = DedupPipeline.verifyPairs(cand(), base.df, cfg, K).count()
+        System.err.println(
+          f"[scratch] rep$rep verify-$name ${(System.nanoTime() - t0) / 1e9}%6.2fs edges=$v")
+      }
+    }
+    rows.release(); base.release()
+
     if (exps.contains('2'))
     for (rep <- 1 to reps; (name, plan) <- Seq(
         "plain " -> (() => rowsPlan),
