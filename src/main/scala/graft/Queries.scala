@@ -370,10 +370,22 @@ object Queries {
     //     engines divide the same exact integers) ---
     "dedup_jaccard" -> Q(
       (s, d) => {
+        // shingles are [a-z]{1,3} after cleanText (short tail shingles only
+        // when the whole cleaned text is < 3 chars), so packing the 1-3
+        // chars into an int (ascii*2^16 + ascii*2^8 + ascii; ascii('')=0
+        // pads, and no real char has code 0) is INJECTIVE: distinct sets,
+        // intersection sizes and hence every jaccard value are provably
+        // identical to the string form the oracle states — while the
+        // join-side array_intersect compares/hashes ints instead of
+        // UTF8Strings (same-JVM A/B: sub-DAG min 0.43 -> 0.37s, 6/8
+        // head-to-head reps faster).
+        val packed = transform(
+          T.charShingles(substring(T.cleanText(col("text")), 1, 32), 3),
+          sh => ascii(sh) * 65536 +
+            ascii(substring(sh, 2, 1)) * 256 +
+            ascii(substring(sh, 3, 1)))
         val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
-          array_distinct(
-            T.charShingles(substring(T.cleanText(col("text")), 1, 32), 3))
-            .as("sh"))
+          array_distinct(packed).as("sh"))
         fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -1008,7 +1020,13 @@ object Queries {
         val edges = pairs
           .join(t.select(col("doc_id").as("a_id"), col("k").as("ka")), Seq("a_id"))
           .join(t.select(col("doc_id").as("b_id"), col("k").as("kb")), Seq("b_id"))
-          .filter(levenshtein(col("ka"), col("kb")) <= 6)
+          // bounded-threshold form (Spark 3.5+): the banded DP early-exits
+          // once the distance provably exceeds 6, ~O(t·n) vs O(n^2) on the
+          // 64-char keys; `>= 0` is the exact old predicate by the
+          // threshold contract (returns -1 iff distance > t, null iff an
+          // input is null — dropped by the filter either way). Probe
+          // (same-JVM alternating A/B, sf0.1): edge sub-DAG 1.72 -> 0.50s.
+          .filter(levenshtein(col("ka"), col("kb"), 6) >= 0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         val cc = graft.operators.ConnectedComponents.run(s, edges)
         t.select(col("doc_id")) // SHUFFLE_HASH: see dedup_cc_clusters
