@@ -140,6 +140,104 @@ object Scratch {
     }
     rows.release(); base.release()
 
+    // ---- experiment 4: sketch the distinct norms WITHOUT shuffling the
+    // norm payload for duplicate rows (guide §2.3 "shuffle fewer bytes",
+    // §3.2/§8 Bloom-prefilter shape). Today sketchBase shuffles one
+    // (id, norm, lc) struct per (map partition, nh) — with dups spread
+    // across partitions, nearly the full 3M norms (~580 MB). Arm B:
+    // tiny winners agg (id, lc by nh), Bloom over winner ids, map-side
+    // prefilter of rows, then a SHUFFLE_HASH join by id that shuffles
+    // only the ~1.2M WINNER norms (~240 MB). Extra cost: one count job,
+    // one bloom job, one extra pass over the row checkpoint.
+    if (exps.contains('4')) {
+      def sketchA(r: DataFrame) = DedupPipeline.sketchBase(r, cfg, K)
+      def sketchB(r: DataFrame) = {
+        val winners = r.groupBy("nh")
+          .agg(min(struct(col("id"), col("lc"))).as("w"))
+          .select(col("w.id").as("id"), col("w.lc").as("lc"))
+          .persist()
+        val k = winners.count()
+        val bf = winners.stat.bloomFilter(xxhash64(col("id")), k, 0.01)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val might = udf((h: Long) => bfB.value.mightContainLong(h))
+        val normSrc = r.select(col("id"), col("norm"))
+          .filter(might(xxhash64(col("id"))))
+        val joined = winners.hint("SHUFFLE_HASH").join(normSrc, Seq("id"))
+          .withColumn("sk", FastHash.sketchFull(col("norm"), cfg.shingleN,
+            cfg.minhashK, cfg.bands, cfg.rowsPerBand))
+          .select(col("id"), col("norm"), col("lc"),
+            length(col("norm")).as("len"),
+            col("sk._1").as("sim"), col("sk._2").as("bands"),
+            col("sk._3").as("anakey"))
+        (joined, winners)
+      }
+      for (rep <- 1 to reps) {
+        val r1 = graft.spark.Checkpoints.cut(rowsPlan)
+        var t0 = System.nanoTime()
+        val bA = graft.spark.Checkpoints.cut(sketchA(r1.df))
+        val nA = bA.df.count()
+        val tA = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val (planB, winners) = sketchB(r1.df)
+        val bB = graft.spark.Checkpoints.cut(planB)
+        val nB = bB.df.count()
+        val tB = (System.nanoTime() - t0) / 1e9
+        winners.unpersist()
+        // row identity: same (id, sim, anakey) multiset either way
+        val hA = bA.df.select(xxhash64(col("id"), col("sim"), col("anakey"))
+          .as("h")).agg(expr("bit_xor(h)")).first().getLong(0)
+        val hB = bB.df.select(xxhash64(col("id"), col("sim"), col("anakey"))
+          .as("h")).agg(expr("bit_xor(h)")).first().getLong(0)
+        System.err.println(
+          f"[scratch] rep$rep sketch-agg   $tA%6.2fs base=$nA hash=$hA")
+        System.err.println(
+          f"[scratch] rep$rep sketch-bloom $tB%6.2fs base=$nB hash=$hB" +
+            (if (hA != hB || nA != nB) "  MISMATCH" else ""))
+        bA.release(); bB.release(); r1.release()
+      }
+    }
+
+    // ---- experiment 5: NARROW sketched base (guide §2.3 "project before
+    // the exchange", §5 memory). base carries (id, norm, lc, len, sim,
+    // bands[42], anakey) ~560B/row; the candidate passes consume ONLY
+    // (id, len, sim, bands, anakey) and read the checkpoint blocks
+    // TWICE, while verify consumes ONLY (id, norm, lc) — available from
+    // the rows checkpoint that is still alive. Arm B checkpoints the
+    // base WITHOUT norm/lc (~40% narrower write, narrower double read)
+    // and verifies against rows. Timed: base cut + both candidate
+    // passes + a-keyed dedup + verify -> edge count (the full segment
+    // both arms share).
+    if (exps.contains('5')) {
+      def segment(narrow: Boolean): (Double, Long, Long) = {
+        val r1 = graft.spark.Checkpoints.cut(rowsPlan)
+        val t0 = System.nanoTime()
+        val basePlan =
+          if (narrow) DedupPipeline.sketchBase(r1.df, cfg, K)
+            .drop("norm", "lc")
+          else DedupPipeline.sketchBase(r1.df, cfg, K)
+        val b = graft.spark.Checkpoints.cut(basePlan)
+        val texts = if (narrow) r1.df else b.df
+        val cand = DedupPipeline.candidatePairs(b.df, cfg)
+          .repartition(col("a")).dropDuplicates("a", "b")
+        val edges = DedupPipeline.verifyPairs(cand, texts, cfg, K)
+        val eCnt = edges.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val h = edges.select(xxhash64(col("src"), col("dst")).as("h"))
+          .agg(expr("bit_xor(h)")).first().getLong(0)
+        b.release(); r1.release()
+        (t, eCnt, h)
+      }
+      for (rep <- 1 to reps) {
+        val (tA, eA, hA) = segment(narrow = false)
+        System.err.println(
+          f"[scratch] rep$rep seg-wide   $tA%6.2fs edges=$eA hash=$hA")
+        val (tB, eB, hB) = segment(narrow = true)
+        System.err.println(
+          f"[scratch] rep$rep seg-narrow $tB%6.2fs edges=$eB hash=$hB" +
+            (if (eA != eB || hA != hB) "  MISMATCH" else ""))
+      }
+    }
+
     if (exps.contains('2'))
     for (rep <- 1 to reps; (name, plan) <- Seq(
         "plain " -> (() => rowsPlan),
