@@ -108,6 +108,13 @@ final case class DedupMetrics(
   */
 object DedupPipeline {
 
+  /** Upper bound on text rows per verify-join hash build (~100-200 MB of
+    * (id, norm, lc) rows at typical transcript lengths): a ShuffledHashJoin
+    * build is non-spillable, so this — not the core count — must size the
+    * verify partitioning. Memory-derived; NOT a parallelism tunable.
+    */
+  val verifyBuildRows: Long = 500000L
+
   /** Normalized text column used for sketching: the alphabet-normalized
     * form rendered to a compact string (one char per class index) so
     * shingle identity == normalized-class n-gram identity — exactly the
@@ -171,7 +178,11 @@ object DedupPipeline {
         .withColumn("lc", K.caseClass(col("text")))
         .drop("text"))
     val rows = rowsCut.df // read twice: exact stage + rep election
-    val nRows = metric(rows.count())
+    // unconditional cheap count over the just-materialized checkpoint
+    // blocks: sizes the verify-join partitioning below (memory-derived,
+    // see verifyParts). Reused as the nRows metric.
+    val nRowsAlways = rows.count()
+    val nRows = if (collectMetrics) nRowsAlways else -1L
 
     // ---- 2. exact duplicates (hash group; no verification needed) ----
     val exactEdges = exactStarEdges(rows)
@@ -202,12 +213,27 @@ object DedupPipeline {
     // could not collapse cross-bucket copies anyway, they live in
     // different partitions). Measured min-of-reps: -8% on the
     // distinct+verify segment at both 1 and 32 cores (Scratch exp 3).
-    val candidates = allPairs.repartition(col("a"))
+    //
+    // The partition COUNT is memory-derived, not the session default
+    // (guide §2.2: size partitions by bytes, and §3.1: a shuffled-hash
+    // build must fit per task). A SHUFFLE_HASH texts build is
+    // non-spillable, so each verify-join task must hold at most
+    // ~verifyBuildRows text rows; at low parallelism the session
+    // default (shuffle.partitions = cores) put ALL text rows in one
+    // build — the 3M-clip 1-core 8 GiB bench child died in
+    // LongToUnsafeRowMap.grow. Rounded UP to a multiple of
+    // defaultParallelism so every level runs even waves (a non-multiple
+    // leaves straggler tasks on the last wave).
+    val dp = spark.sparkContext.defaultParallelism
+    val verifyParts = (dp * math.max(1L,
+      (nRowsAlways + verifyBuildRows * dp - 1) / (verifyBuildRows * dp))).toInt
+    val candidates = allPairs.repartition(verifyParts, col("a"))
       .dropDuplicates("a", "b")
     val nCandidatePairs = metric(candidates.count())
 
     // ---- 5. verification (see [[verifyPairs]]) ----
-    val verifiedEdges = verifyPairs(candidates, base, cfg, K)
+    val verifiedEdges = verifyPairs(candidates, base, cfg, K,
+      numParts = Some(verifyParts))
 
     // always checkpoint edges: CC iterates over them
     val allEdgesCut = graft.spark.Checkpoints.cut(substringEdges
@@ -447,22 +473,44 @@ object DedupPipeline {
     * upper bound already decides the score against the threshold (most
     * pairs — see [[graft.functions.KernelExprs.pairAccept]]);
     * bit-identical exact-score UDF fallback otherwise. Norms arrive by
-    * SHUFFLE-HASH join (hinted): no sort of the candidate stream
+    * SHUFFLE-HASH joins (hinted): no sort of the candidate stream
     * (sort-merge measured 2-3x slower) and no single-threaded driver
     * broadcast build (at 1.5M reps a broadcast serialized the whole
-    * stage).
+    * stage). The FIRST join builds the CANDIDATES side (16-byte pair
+    * rows, ~300 MB at the 3M-clip bench) and streams the texts; only
+    * the second builds a texts relation. Building texts on BOTH joins
+    * OOM'd the 1-core 8 GiB bench child once the a-keyed dedup (change
+    * 13) fused the dedup hash-agg and join 1 into one stage: two
+    * non-spillable ~1-2 GiB text hash relations plus the agg map
+    * co-resided in a single task ("Can't acquire 1073741824 bytes to
+    * build hash relation"). With the pair side built, the two large
+    * structures live in different stages, the per-task non-spillable
+    * peak drops severalfold, and join 1 probes 3M text rows against a
+    * small hash instead of 5M pairs against a large one. Results are
+    * identical: inner equi-joins — the build side is a physical choice.
     */
   def verifyPairs(candidates: DataFrame, base: DataFrame,
-      cfg: DedupConfig, K: Kernels): DataFrame = {
+      cfg: DedupConfig, K: Kernels,
+      numParts: Option[Int] = None): DataFrame = {
     val texts0 = base.select(col("id"), col("norm"), col("lc"))
-    val texts =
-      if (cfg.broadcastTexts) broadcast(texts0)
-      else texts0.hint("SHUFFLE_HASH")
-    candidates
-      .join(texts.select(col("id").as("a"), col("norm").as("na"),
-        col("lc").as("lca")), Seq("a"))
-      .join(texts.select(col("id").as("b"), col("norm").as("nb"),
-        col("lc").as("lcb")), Seq("b"))
+    val textsA = texts0.select(col("id").as("a"), col("norm").as("na"),
+      col("lc").as("lca"))
+    val textsB = texts0.select(col("id").as("b"), col("norm").as("nb"),
+      col("lc").as("lcb"))
+    val joined =
+      if (cfg.broadcastTexts)
+        candidates.join(broadcast(textsA), Seq("a"))
+          .join(broadcast(textsB), Seq("b"))
+      else {
+        val j1 = candidates.hint("SHUFFLE_HASH").join(textsA, Seq("a"))
+        // align join 2's exchange to the same memory-derived partition
+        // count (the session default is core-count-sized and puts the
+        // whole textsB build in one task at low parallelism); the
+        // repartition IS join 2's left-side exchange, not an extra one
+        val j1p = numParts.fold(j1)(p => j1.repartition(p, col("b")))
+        j1p.join(textsB.hint("SHUFFLE_HASH"), Seq("b"))
+      }
+    joined
       .filter(K.pairAcceptPreIn(candidates.sparkSession)(
         col("na"), col("nb"), col("lca"), col("lcb"),
         cfg.maxEditDistance, cfg.scoreThreshold, cfg.weights))

@@ -127,6 +127,13 @@ object Scratch {
           " a=" + exchanges(DedupPipeline.verifyPairs(
             allPairs.repartition(col("a")).dropDuplicates("a", "b"),
             base.df, cfg, K)))
+        DedupPipeline.verifyPairs(
+            allPairs.repartition(col("a")).dropDuplicates("a", "b"),
+            base.df, cfg, K)
+          .queryExecution.executedPlan.toString.linesIterator
+          .filter(_.contains("ShuffledHashJoin"))
+          .foreach(l => System.err.println(
+            "[scratch] join: " + l.trim.take(100)))
       }
       for (rep <- 1 to reps; (name, cand) <- Seq(
           "distinct-ab" -> (() => allPairs.distinct()),
