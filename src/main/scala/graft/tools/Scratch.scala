@@ -204,6 +204,53 @@ object Scratch {
       }
     }
 
+    // ---- experiment 6: change-16 A/B — the pre-change verify fetch
+    // (texts built on BOTH joins, session partitioning) vs the shipped
+    // shape (pair side built on join 1, memory-derived partition count).
+    // Same candidates input; edges must be bit-identical.
+    if (exps.contains('6')) {
+      val r6 = graft.spark.Checkpoints.cut(rowsPlan)
+      val b6 = graft.spark.Checkpoints.cut(
+        DedupPipeline.sketchBase(r6.df, cfg, K))
+      val cfgK = (cfg, K)
+      def candidatesOf(p: Int) = DedupPipeline.candidatePairs(b6.df, cfg)
+        .repartition(p, col("a")).dropDuplicates("a", "b")
+      def verifyOld(cand: DataFrame) = {
+        val texts = b6.df.select(col("id"), col("norm"), col("lc"))
+          .hint("SHUFFLE_HASH")
+        cand
+          .join(texts.select(col("id").as("a"), col("norm").as("na"),
+            col("lc").as("lca")), Seq("a"))
+          .join(texts.select(col("id").as("b"), col("norm").as("nb"),
+            col("lc").as("lcb")), Seq("b"))
+          .filter(K.pairAcceptPreIn(spark)(
+            col("na"), col("nb"), col("lca"), col("lcb"),
+            cfg.maxEditDistance, cfg.scoreThreshold, cfg.weights))
+          .select(col("a").as("src"), col("b").as("dst"))
+      }
+      val dp = spark.sparkContext.defaultParallelism
+      val nR = r6.df.count()
+      val p16 = (dp * math.max(1L,
+        (nR + DedupPipeline.verifyBuildRows * dp - 1) /
+          (DedupPipeline.verifyBuildRows * dp))).toInt
+      System.err.println(s"[scratch] exp6 dp=$dp p16=$p16")
+      for (rep <- 1 to reps) {
+        var t0 = System.nanoTime()
+        val eOld = verifyOld(candidatesOf(dp)).count()
+        val tOld = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val eNew = DedupPipeline.verifyPairs(candidatesOf(p16), b6.df,
+          cfgK._1, cfgK._2, numParts = Some(p16)).count()
+        val tNew = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[scratch] rep$rep verify-pre16  $tOld%6.2fs edges=$eOld")
+        System.err.println(
+          f"[scratch] rep$rep verify-c16   $tNew%6.2fs edges=$eNew" +
+            (if (eOld != eNew) "  MISMATCH" else ""))
+      }
+      r6.release(); b6.release()
+    }
+
     // ---- experiment 5: NARROW sketched base (guide §2.3 "project before
     // the exchange", §5 memory). base carries (id, norm, lc, len, sim,
     // bands[42], anakey) ~560B/row; the candidate passes consume ONLY
