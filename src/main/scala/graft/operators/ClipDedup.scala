@@ -119,7 +119,18 @@ object ClipDedup {
     // ---- stage 4: verified edges (kernel score on candidates + exact
     //      star edges + optional containment pass) ----
     val edges = r.stage("edges", Seq("src", "dst")) {
-      val verified = DedupPipeline.verifyPairs(candidates, sketches, cfg, K)
+      // memory-derived verify partitioning (see DedupPipeline.run): a
+      // SHUFFLE_HASH texts build is non-spillable, so the partition
+      // count must bound build rows, not follow the session default.
+      // sketches is a materialized stage parquet — the count is cheap.
+      val dp = spark.sparkContext.defaultParallelism
+      val nSk = sketches.count()
+      val vParts = (dp * math.max(1L,
+        (nSk + DedupPipeline.verifyBuildRows * dp - 1) /
+          (DedupPipeline.verifyBuildRows * dp))).toInt
+      val verified = DedupPipeline.verifyPairs(
+        candidates.repartition(vParts, col("a")), sketches, cfg, K,
+        numParts = Some(vParts))
       val exact = DedupPipeline.exactStarEdges(norms)
       val withSub =
         if (cfg.substringMinLen > 0)
