@@ -116,6 +116,15 @@ final case class AudioDedupMetrics(
   */
 object AudioDedup {
 
+  /** Upper bound on fingerprint rows per verify-join hash build
+    * (~150-200 MB of (id, fp: array<int> of ~100-300 frame words)
+    * rows): a ShuffledHashJoin build is non-spillable, so this — not
+    * the core count — must size the verify partitioning (same
+    * discipline as [[DedupPipeline.verifyBuildRows]]). Memory-derived;
+    * NOT a parallelism tunable.
+    */
+  val verifyBuildRows: Long = 125000L
+
   /** Deterministic integer hyperplanes for the profile sign-LSH —
     * `profileBands·profileBits` planes of `nBands` weights in
     * [-500, 500] from a fixed LCG (the [[EmbDedup.planes]]
@@ -225,23 +234,41 @@ object AudioDedup {
     def metric(f: => Long): Long = if (collectMetrics) f else -1L
     val fpsCut = fingerprints(df, idCol, bytesCol, cfg)
     val fps = fpsCut.df
-    val nRows = metric(fps.count())
+    // unconditional cheap count over the just-materialized checkpoint
+    // blocks: sizes the verify-join partitioning below (memory-derived,
+    // see vParts). Reused as the nRows metric.
+    val nRowsAlways = fps.count()
+    val nRows = if (collectMetrics) nRowsAlways else -1L
     val nUndecodable = metric(fps.filter(col("fp").isNull).count())
     val good = fps.filter(col("fp").isNotNull)
     val keyed = good.select(col("id"), explode(col("keys")).as("k"))
     val nDropped = metric(keyed.groupBy("k").agg(count(lit(1)).as("n"))
       .filter(col("n") > cfg.bucketCap).count())
-    val cand = CappedPairs.fromKeys(keyed, cfg.bucketCap)
+    // memory-derived verify partitioning (see [[verifyBuildRows]] and
+    // DedupPipeline.run): each verify-join task holds at most
+    // ~verifyBuildRows fingerprint rows in its non-spillable hash
+    // build; rounded UP to a multiple of defaultParallelism.
+    val dp = spark.sparkContext.defaultParallelism
+    val vParts = (dp * math.max(1L,
+      (nRowsAlways + verifyBuildRows * dp - 1) /
+        (verifyBuildRows * dp))).toInt
+    val cand = CappedPairs.fromKeys(keyed, cfg.bucketCap, Some(vParts))
     val nCand = metric(cand.count())
     // word sequences arrive by shuffle-hash join: no sort of the pair
-    // stream, no driver-side broadcast of an N-row fingerprint table
+    // stream, no driver-side broadcast of an N-row fingerprint table.
+    // Join 1 builds the CAPPED PAIR side and streams the fingerprints;
+    // only join 2 builds a fingerprint relation, on the derived
+    // partitioning (the DedupPipeline.verifyPairs build-side
+    // discipline). Inner equi-joins: build side is physical only.
     val berU = udf { (a: Seq[Int], b: Seq[Int]) =>
       Fingerprint.ber(a.toArray, b.toArray, cfg.maxShiftFrames)
     }
-    val fetch = good.select(col("id"), col("fp")).hint("SHUFFLE_HASH")
-    val verified = cand
+    val fetch = good.select(col("id"), col("fp"))
+    val verified = cand.hint("SHUFFLE_HASH")
       .join(fetch.select(col("id").as("a"), col("fp").as("afp")), Seq("a"))
-      .join(fetch.select(col("id").as("b"), col("fp").as("bfp")), Seq("b"))
+      .repartition(vParts, col("b"))
+      .join(fetch.select(col("id").as("b"), col("fp").as("bfp"))
+        .hint("SHUFFLE_HASH"), Seq("b"))
       .select(col("a"), col("b"), berU(col("afp"), col("bfp")).as("ber"))
       .filter(col("ber") <= cfg.maxBer)
     val vCut = graft.spark.Checkpoints.cut(verified)

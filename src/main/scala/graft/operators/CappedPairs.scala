@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object CappedPairs {
 
-  /** keyed(id, k) → distinct candidate pairs (a, b) with a < b. */
-  def fromKeys(keyed: DataFrame, cap: Int): DataFrame = {
+  /** keyed(id, k) → distinct candidate pairs (a, b) with a < b.
+    *
+    * @param numParts partition count for the trailing a-keyed dedup
+    *                 exchange (which the caller's verify join on a
+    *                 reuses). Callers that know their payload-table row
+    *                 count pass a memory-derived value (see
+    *                 [[DedupPipeline.verifyBuildRows]]: a SHUFFLE_HASH
+    *                 build is non-spillable, so the count must bound
+    *                 build rows per task, not follow the session
+    *                 default); None keeps the session partitioning.
+    */
+  def fromKeys(keyed: DataFrame, cap: Int,
+      numParts: Option[Int] = None): DataFrame = {
     val hot = keyed.groupBy("k").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, cap))
       .select(col("k"))
@@ -39,7 +50,8 @@ object CappedPairs {
       // fetches the a-side payload first), so the dedup exchange and
       // that join's exchange collapse into one — see
       // DedupPipeline.run's candidates for the measured trade.
-      .repartition(col("a"))
+      .transform(d => numParts.fold(d.repartition(col("a")))(p =>
+        d.repartition(p, col("a"))))
       .dropDuplicates("a", "b")
   }
 }

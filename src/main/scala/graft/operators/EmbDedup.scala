@@ -169,12 +169,22 @@ object EmbDedup {
       .select(col("id"), xxhash64(col("band"), col("bits")).as("k"))
   }
 
+  /** Upper bound on vector rows per verify-join hash build (~150-200 MB
+    * of (id, array<double> dims) rows at dims=64): a ShuffledHashJoin
+    * build is non-spillable, so this — not the core count — must size
+    * the verify partitioning (same discipline as
+    * [[DedupPipeline.verifyBuildRows]]). Memory-derived; NOT a
+    * parallelism tunable.
+    */
+  val verifyBuildRows: Long = 250000L
+
   /** Bucket -> pair expansion — the shared capped shape
     * ([[CappedPairs.fromKeys]]; the text pipeline's variant adds an
     * edit-distance length prefilter, which embeddings don't have).
     */
-  def pairsFromKeys(keyed: DataFrame, cfg: EmbDedupConfig): DataFrame =
-    CappedPairs.fromKeys(keyed, cfg.bucketCap)
+  def pairsFromKeys(keyed: DataFrame, cfg: EmbDedupConfig,
+      numParts: Option[Int] = None): DataFrame =
+    CappedPairs.fromKeys(keyed, cfg.bucketCap, numParts)
 
   /** Verified near-dup pairs: banded candidates -> exact cosine >=
     * threshold. Returns (pairs(a, b, cos), metrics).
@@ -197,19 +207,40 @@ object EmbDedup {
     val rows = df.select(col(idCol).as("id"),
       transform(col(embCol), _.cast("double")).as("emb"))
     val nRows = metric(rows.count())
+    // memory-derived verify partitioning (see [[verifyBuildRows]] and
+    // DedupPipeline.run): each verify-join task must hold at most
+    // ~verifyBuildRows vector rows in its non-spillable hash build;
+    // rounded UP to a multiple of defaultParallelism for even waves.
+    // Derivable only when the row count was taken (the metrics path —
+    // checkpointed production runs); the metric-free oracle/bench path
+    // keeps the session partitioning rather than pay a counting job.
+    val vParts: Option[Int] = if (collectMetrics) {
+      val dp = spark.sparkContext.defaultParallelism
+      Some((dp * math.max(1L,
+        (nRows + verifyBuildRows * dp - 1) / (verifyBuildRows * dp))).toInt)
+    } else None
     val keyed0 = bandKeys(df, idCol, embCol, cfg)
     val keyed = if (collectMetrics) keyed0.persist() else keyed0
     val nDropped = metric(keyed.groupBy("k").agg(count(lit(1)).as("n"))
       .filter(col("n") > cfg.bucketCap).count())
-    val cand0 = pairsFromKeys(keyed, cfg)
+    val cand0 = pairsFromKeys(keyed, cfg, vParts)
     val cand = if (collectMetrics) cand0.persist() else cand0
     val nCand = metric(cand.count())
     // vectors arrive by shuffle-hash join: no sort of the candidate
-    // stream, no driver-side broadcast build of an N-row vector table
-    val embs = rows.hint("SHUFFLE_HASH")
-    val verified0 = cand
+    // stream, no driver-side broadcast build of an N-row vector table.
+    // Join 1 builds the CAPPED PAIR side (16-byte rows) and streams the
+    // vectors; only join 2 builds a vector relation, on the derived
+    // partitioning — the same build-side discipline as
+    // DedupPipeline.verifyPairs (a vector build on BOTH joins is the
+    // non-spillable low-parallelism exposure change 16 fixed for text).
+    // Inner equi-joins: the build side is a physical choice only.
+    val embs = rows
+    val j1 = cand.hint("SHUFFLE_HASH")
       .join(embs.select(col("id").as("a"), col("emb").as("aemb")), Seq("a"))
-      .join(embs.select(col("id").as("b"), col("emb").as("bemb")), Seq("b"))
+    val j1p = vParts.fold(j1)(p => j1.repartition(p, col("b")))
+    val verified0 = j1p
+      .join(embs.select(col("id").as("b"), col("emb").as("bemb"))
+        .hint("SHUFFLE_HASH"), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.TextFns.cosineIn(spark)(col("aemb"), col("bemb"))
           .as("cos"))

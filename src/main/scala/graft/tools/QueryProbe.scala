@@ -121,6 +121,43 @@ object QueryProbe {
         }
         ab("jaccard str-shingles", strForm, "jaccard packed-int", packForm)
 
+      case "emb_build" =>
+        // EmbDedup verify-join build side: embs built on BOTH joins
+        // (pre-round-6 shape) vs pair side built on join 1 + embs only
+        // on join 2 (the DedupPipeline.verifyPairs discipline). Both
+        // arms share the identical metric-free candidate plan; inner
+        // equi-joins, so the result set is identical by construction.
+        import graft.operators.EmbDedup
+        val cfg = graft.Queries.embCfg
+        val corpus = graft.Queries.embTwinCorpus(spark, sfDir)
+        def verifySub(buildPairSide: Boolean) = {
+          val rows = corpus.select(col("vec_id").as("id"),
+            transform(col("emb"), _.cast("double")).as("emb"))
+          val keyed = EmbDedup.bandKeys(corpus, "vec_id", "emb", cfg)
+          val cand = EmbDedup.pairsFromKeys(keyed, cfg)
+          val jo =
+            if (buildPairSide)
+              cand.hint("SHUFFLE_HASH")
+                .join(rows.select(col("id").as("a"), col("emb").as("aemb")),
+                  Seq("a"))
+                .join(rows.select(col("id").as("b"), col("emb").as("bemb"))
+                  .hint("SHUFFLE_HASH"), Seq("b"))
+            else {
+              val embs = rows.hint("SHUFFLE_HASH")
+              cand
+                .join(embs.select(col("id").as("a"), col("emb").as("aemb")),
+                  Seq("a"))
+                .join(embs.select(col("id").as("b"), col("emb").as("bemb")),
+                  Seq("b"))
+            }
+          jo.select(col("a"), col("b"),
+              graft.functions.TextFns.cosineIn(spark)(col("aemb"),
+                col("bemb")).as("cos"))
+            .filter(col("cos") >= cfg.cosThreshold)
+        }
+        ab("emb verify build-embs-x2", verifySub(false),
+          "emb verify build-pairs+embs", verifySub(true))
+
       case other =>
         System.err.println(s"unknown experiment: $other")
     }

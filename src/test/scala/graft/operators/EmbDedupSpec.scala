@@ -97,6 +97,35 @@ class EmbDedupSpec extends SparkSpecBase {
     assert(run(1) == run(7))
   }
 
+  test("memory-derived verify partitioning: explicit numParts keeps the pair set and sets the partition count") {
+    import spark.implicits._
+    val rows = clusteredEmbeddings(nClusters = 40, dupsPer = 2,
+      jitter = 0.02)
+    val cfg = EmbDedupConfig(dims = dims, bands = 8, bitsPerBand = 10)
+    val df = rows.toDF("id", "embedding").repartition(3)
+    val keyed = EmbDedup.bandKeys(df, "id", "embedding", cfg)
+    def pairsAt(numParts: Option[Int]) =
+      EmbDedup.pairsFromKeys(keyed, cfg, numParts)
+    val default = pairsAt(None)
+    val derived = pairsAt(Some(5))
+    // the a-keyed dedup exchange honors the memory-derived count...
+    assert(derived.rdd.getNumPartitions == 5)
+    // ...and the candidate set is bit-identical to the default path
+    // (hashpartitioning(a) at ANY partition count satisfies the (a, b)
+    // dedup clustering)
+    assert(default.select("a", "b").as[(Long, Long)].collect().toSet ==
+      derived.select("a", "b").as[(Long, Long)].collect().toSet)
+    // metrics-path end-to-end (nearDupPairs derives vParts from nRows):
+    // identical verified edges to the metric-free session-default path
+    val viaMetrics = EmbDedup.nearDupPairs(spark, df, "id", "embedding",
+      cfg, collectMetrics = true)._1
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val viaDefault = EmbDedup.nearDupPairs(spark, df, "id", "embedding",
+      cfg, collectMetrics = false)._1
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(viaMetrics == viaDefault)
+  }
+
   test("hot-bucket cap drops mega-buckets and accounts for them") {
     import spark.implicits._
     // 200 IDENTICAL vectors -> every band bucket holds all 200 rows,
