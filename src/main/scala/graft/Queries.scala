@@ -384,13 +384,20 @@ object Queries {
           sh => ascii(sh) * 65536 +
             ascii(substring(sh, 2, 1)) * 256 +
             ascii(substring(sh, 3, 1)))
+        // sorted ONCE per row (amortized over every pair the row joins
+        // into) so the per-pair |A∩B| is the allocation-free
+        // sorted_intersect_count merge scan instead of a hash-set build
+        // per pair; set size is order-independent and the arrays are
+        // distinct, so every (i, na, nb) triple — hence every jaccard —
+        // is identical to the array_intersect form (same-JVM A/B:
+        // sub-DAG min 0.338->0.328 / 0.403->0.388 over two runs).
         val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
-          array_distinct(packed).as("sh"))
+          sort_array(array_distinct(packed)).as("sh"))
         fanout(t.as("a")).join(t.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-            size(array_intersect(col("a.sh"), col("b.sh"))).as("i"),
+            T.sortedIntersectCountIn(s)(col("a.sh"), col("b.sh")).as("i"),
             size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
           .select(col("a_id"), col("b_id"),
             round(col("i").cast("double") /

@@ -270,4 +270,19 @@ object TextFns {
   def cosineIn(s: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
     if (s.catalog.functionExists("cosine_sim")) call_function("cosine_sim", a, b)
     else cosine(a, b)
+
+  /** |A ∩ B| of two SORTED, duplicate-free, null-free int-array columns
+    * through the fastest formulation the session offers: the native
+    * allocation-free merge-scan `sorted_intersect_count`
+    * ([[graft.functions.SortedIntersectCount]]) when
+    * [[graft.spark.GraftExtensions]] is installed, else
+    * `size(array_intersect(a, b))` — identical on distinct arrays (set
+    * size is order-independent), so a query authored with this runs
+    * correctly in ANY session and fast in ours.
+    */
+  def sortedIntersectCountIn(s: org.apache.spark.sql.SparkSession)(
+      a: Column, b: Column): Column =
+    if (s.catalog.functionExists("sorted_intersect_count"))
+      call_function("sorted_intersect_count", a, b)
+    else size(array_intersect(a, b))
 }

@@ -3,9 +3,9 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType, IntegerType}
 
-import graft.functions.{CosineSim, PairAccept, PairScoreMax}
+import graft.functions.{CosineSim, PairAccept, PairScoreMax, SortedIntersectCount}
 
 /** Session extensions registering graft's native Catalyst expressions
   * (the public injection route: `.config("spark.sql.extensions",
@@ -82,6 +82,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           wSuffix = num(children(8), "wSuffix"),
           wCase = num(children(9), "wCase"),
           threshold = num(children(10), "threshold"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sorted_intersect_count takes 2 arguments, got ${children.length}")
+        // input coercion at the registration seam (the expression
+        // assumes int arrays; see the caller contract there)
+        def toInts(e: Expression): Expression =
+          if (e.dataType.isInstanceOf[ArrayType] &&
+              e.dataType.asInstanceOf[ArrayType].elementType == IntegerType) e
+          else Cast(e, ArrayType(IntegerType))
+        SortedIntersectCount(toInts(children.head), toInts(children(1)))
       }))
   }
 }

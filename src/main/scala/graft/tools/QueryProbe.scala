@@ -121,6 +121,44 @@ object QueryProbe {
         }
         ab("jaccard str-shingles", strForm, "jaccard packed-int", packForm)
 
+      case "jac_merge" =>
+        // dedup_jaccard per-pair kernel: packed-int array_intersect
+        // (incumbent — hash-set build per pair) vs pre-sorted arrays +
+        // the native sorted_intersect_count merge scan (allocation-free
+        // codegen). Set size is order-independent and the arrays are
+        // distinct, so every (i, na, nb) triple — hence every jaccard —
+        // is identical.
+        import graft.functions.{TextFns => T}
+        val base = Tables.documents(spark, sfDir).select(col("doc_id"),
+          col("source"), substring(T.cleanText(col("text")), 1, 32).as("k32"))
+        val par = spark.sparkContext.defaultParallelism
+        val packed = transform(T.charShingles(col("k32"), 3), s =>
+          ascii(s) * 65536 +
+            ascii(substring(s, 2, 1)) * 256 +
+            ascii(substring(s, 3, 1)))
+        def form(sorted: Boolean) = {
+          val sh =
+            if (sorted) sort_array(array_distinct(packed))
+            else array_distinct(packed)
+          val t = base.select(col("doc_id"), col("source"), sh.as("sh"))
+          val iCol =
+            if (sorted)
+              T.sortedIntersectCountIn(spark)(col("a.sh"), col("b.sh"))
+            else size(array_intersect(col("a.sh"), col("b.sh")))
+          t.as("a").repartition(par).join(t.as("b"),
+              col("a.source") === col("b.source") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              iCol.as("i"),
+              size(col("a.sh")).as("na"), size(col("b.sh")).as("nb"))
+            .select(col("a_id"), col("b_id"),
+              round(col("i").cast("double") /
+                (col("na") + col("nb") - col("i")).cast("double"), 6)
+                .as("jaccard"))
+        }
+        ab("jaccard packed-intersect", form(false),
+          "jaccard sorted-merge", form(true))
+
       case "emb_build" =>
         // EmbDedup verify-join build side: embs built on BOTH joins
         // (pre-round-6 shape) vs pair side built on join 1 + embs only
